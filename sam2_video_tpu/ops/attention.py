@@ -1,0 +1,47 @@
+"""Attention primitives.
+
+``sdpa`` is the XLA path: a fused-by-XLA softmax(QK^T)V with f32 accumulation
+on the MXU (parity with torch F.scaled_dot_product_attention, reference
+transformer.py:243,306 and hieradet.py:70-74). For the shapes in this stack
+(windowed Hiera: 49–196-token windows; memory attention: 576 queries × ≤4.2k
+keys) XLA already tiles these onto the MXU well; the Pallas flash kernel in
+``ops/flash_attention.py`` is used for the large-sequence global-attention
+blocks and memory cross-attention on real TPUs (see ops/__init__.py gate).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+         bias: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Scaled dot-product attention.
+
+    q: [..., Lq, D], k: [..., Lk, D], v: [..., Lk, Dv]; bias broadcastable to
+    [..., Lq, Lk] (additive, f32). Softmax in f32, output cast back to q.dtype.
+    """
+    scale = 1.0 / jnp.sqrt(jnp.asarray(q.shape[-1], jnp.float32))
+    logits = jnp.einsum("...qd,...kd->...qk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    weights = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("...qk,...kd->...qd", weights.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+def split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """[..., L, H*D] -> [..., H, L, D]."""
+    *lead, L, C = x.shape
+    x = x.reshape(*lead, L, num_heads, C // num_heads)
+    return jnp.swapaxes(x, -2, -3)
+
+
+def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """[..., H, L, D] -> [..., L, H*D]."""
+    x = jnp.swapaxes(x, -2, -3)
+    *lead, L, H, D = x.shape
+    return x.reshape(*lead, L, H * D)
