@@ -1,0 +1,146 @@
+"""Memory attention: conditions the current frame's features on the memory
+bank (spatial memories + object-pointer tokens) with RoPE attention.
+
+Parity spec: /root/reference/sam2_video/model/modeling/memory_attention.py
+(MemoryAttentionLayer:17-99, MemoryAttention:102-169) and sam/transformer.py
+RoPEAttention:251-311. TPU-first differences:
+
+- The memory sequence is a *fixed-shape* concatenation of ``num_maskmem``
+  spatial-memory slots plus a fixed number of object-pointer tokens; invalid
+  slots are removed from attention by an additive f32 bias instead of a
+  dynamic concat (static shapes are mandatory under ``lax.scan``/jit).
+- RoPE tables are tiled per spatial slot (``rope_k_repeat``); pointer tokens
+  are excluded from rotation (``num_k_exclude_rope``) simply by rotating only
+  the leading spatial block — possible because the layout is static.
+- All attention runs batched over objects on the MXU with f32 softmax.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import common as nn
+from ..ops.attention import merge_heads, sdpa, split_heads
+from ..ops.position_encoding import apply_rope, axial_rope_table
+
+
+@dataclasses.dataclass(frozen=True)
+class MemoryAttentionConfig:
+    d_model: int = 256
+    num_layers: int = 4
+    dim_feedforward: int = 2048
+    num_heads: int = 1
+    kv_in_dim: int = 64
+    rope_theta: float = 10000.0
+    pos_enc_at_input: bool = True
+    pos_enc_at_attn: bool = False
+    pos_enc_at_cross_attn_keys: bool = True
+    pos_enc_at_cross_attn_queries: bool = False
+    activation: str = "relu"
+
+
+def _rope_attn_init(key, embed_dim, num_heads, kv_in_dim=None):
+    kv = kv_in_dim if kv_in_dim is not None else embed_dim
+    ks = jax.random.split(key, 4)
+    return {
+        "q_proj": nn.linear_init(ks[0], embed_dim, embed_dim),
+        "k_proj": nn.linear_init(ks[1], kv, embed_dim),
+        "v_proj": nn.linear_init(ks[2], kv, embed_dim),
+        "out_proj": nn.linear_init(ks[3], embed_dim, embed_dim),
+    }
+
+
+def _layer_init(key, cfg: MemoryAttentionConfig):
+    ks = jax.random.split(key, 4)
+    return {
+        "self_attn": _rope_attn_init(ks[0], cfg.d_model, cfg.num_heads),
+        "cross_attn_image": _rope_attn_init(ks[1], cfg.d_model, cfg.num_heads,
+                                            cfg.kv_in_dim),
+        "linear1": nn.linear_init(ks[2], cfg.d_model, cfg.dim_feedforward),
+        "linear2": nn.linear_init(ks[3], cfg.dim_feedforward, cfg.d_model),
+        "norm1": nn.layer_norm_init(cfg.d_model),
+        "norm2": nn.layer_norm_init(cfg.d_model),
+        "norm3": nn.layer_norm_init(cfg.d_model),
+    }
+
+
+def init(key, cfg: MemoryAttentionConfig):
+    ks = jax.random.split(key, cfg.num_layers + 1)
+    return {
+        "layers": {str(i): _layer_init(ks[i], cfg)
+                   for i in range(cfg.num_layers)},
+        "norm": nn.layer_norm_init(cfg.d_model),
+    }
+
+
+def _self_attn(p, cfg, tgt, query_pos, rope_q):
+    """Self-attention with RoPE on both q and k (RoPEAttention, q==k length)."""
+    tgt2 = nn.layer_norm(p["norm1"], tgt)
+    qk_in = tgt2 + query_pos if cfg.pos_enc_at_attn else tgt2
+    ap = p["self_attn"]
+    q = split_heads(nn.linear(ap["q_proj"], qk_in), cfg.num_heads)
+    k = split_heads(nn.linear(ap["k_proj"], qk_in), cfg.num_heads)
+    v = split_heads(nn.linear(ap["v_proj"], tgt2), cfg.num_heads)
+    cos, sin = rope_q
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    out = nn.linear(ap["out_proj"], merge_heads(sdpa(q, k, v)))
+    return tgt + out
+
+
+def _cross_attn(p, cfg, tgt, memory, query_pos, pos, rope_q, rope_k,
+                num_spatial_k: int, bias):
+    """Cross-attention: q gets RoPE; the first ``num_spatial_k`` keys get the
+    tiled RoPE; trailing (object-pointer) keys are left unrotated."""
+    tgt2 = nn.layer_norm(p["norm2"], tgt)
+    q_in = tgt2 + query_pos if cfg.pos_enc_at_cross_attn_queries else tgt2
+    k_in = memory + pos if cfg.pos_enc_at_cross_attn_keys else memory
+    ap = p["cross_attn_image"]
+    q = split_heads(nn.linear(ap["q_proj"], q_in), cfg.num_heads)
+    k = split_heads(nn.linear(ap["k_proj"], k_in), cfg.num_heads)
+    v = split_heads(nn.linear(ap["v_proj"], memory), cfg.num_heads)
+    q = apply_rope(q, *rope_q)
+    k_spatial = apply_rope(k[..., :num_spatial_k, :], *rope_k)
+    k = jnp.concatenate([k_spatial, k[..., num_spatial_k:, :]], axis=-2)
+    out = nn.linear(ap["out_proj"], merge_heads(sdpa(q, k, v, bias)))
+    return tgt + out
+
+
+def apply(p, cfg: MemoryAttentionConfig, curr, memory, curr_pos, memory_pos,
+          feat_hw: tuple[int, int], num_spatial_k: int,
+          key_bias: jnp.ndarray | None = None):
+    """
+    curr:       [B, Lq, d_model]   current-frame features (queries)
+    memory:     [B, Lk, kv_in_dim] memory tokens (spatial slots then pointers)
+    curr_pos:   [B or 1, Lq, d_model]
+    memory_pos: [B or 1, Lk, kv_in_dim]
+    feat_hw:    (H, W) of the query feature map; H*W == Lq
+    num_spatial_k: leading key count that receives tiled RoPE
+    key_bias:   broadcastable to [B, 1, Lq, Lk] additive f32 mask
+                (-inf-style for invalid memory slots)
+    """
+    h, w = feat_hw
+    assert h * w == curr.shape[-2]
+    head_dim = cfg.d_model // cfg.num_heads
+    rope_q = axial_rope_table(head_dim, w, h, cfg.rope_theta)
+    reps = num_spatial_k // (h * w)
+    assert reps * h * w == num_spatial_k
+    rope_k = (jnp.tile(rope_q[0], (reps, 1)), jnp.tile(rope_q[1], (reps, 1)))
+
+    output = curr
+    if cfg.pos_enc_at_input and curr_pos is not None:
+        output = output + 0.1 * curr_pos
+
+    act = {"relu": jax.nn.relu, "gelu": nn.gelu}[cfg.activation]
+    for i in range(cfg.num_layers):
+        lp = p["layers"][str(i)]
+        output = _self_attn(lp, cfg, output, curr_pos, rope_q)
+        output = _cross_attn(lp, cfg, output, memory, curr_pos, memory_pos,
+                             rope_q, rope_k, num_spatial_k, key_bias)
+        tgt2 = nn.layer_norm(lp["norm3"], output)
+        tgt2 = nn.linear(lp["linear2"], act(nn.linear(lp["linear1"], tgt2)))
+        output = output + tgt2
+    return nn.layer_norm(p["norm"], output)
