@@ -1,0 +1,104 @@
+"""Data pipeline tests over a synthetic on-disk COCO video dataset."""
+
+import numpy as np
+import pytest
+
+from sam2_video_tpu.data.coco import COCOIndex, clip_windows
+from sam2_video_tpu.data.pipeline import (ClipDataset, ClipDatasetConfig,
+                                          ClipLoader)
+from sam2_video_tpu.data.synthetic import make_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def dataset_path(tmp_path_factory):
+    return make_synthetic_dataset(tmp_path_factory.mktemp("synth"),
+                                  num_videos=2, frames_per_video=12)
+
+
+def test_index_structure(dataset_path):
+    index = COCOIndex(dataset_path, image_size=128)
+    assert index.num_categories == 3
+    assert len(index.video_to_images) == 2
+    for vid, imgs in index.video_to_images.items():
+        orders = [im["order_in_video"] for im in imgs]
+        assert orders == sorted(orders)
+
+
+def test_clip_windows(dataset_path):
+    index = COCOIndex(dataset_path, image_size=128)
+    clips = clip_windows(index, clip_length=4, stride=4)
+    # 12 frames per video, window 4, stride 4 -> 3 clips per video
+    assert len(clips) == 6
+    clips2 = clip_windows(index, clip_length=10, stride=10)
+    assert len(clips2) == 2
+
+
+def test_mask_loading_and_transform(dataset_path):
+    index = COCOIndex(dataset_path, image_size=96)
+    masks = index.load_masks(index.images[0]["id"])
+    assert masks.shape == (3, 96, 96)
+    assert masks.any()
+    # cache hit returns same array
+    assert index.load_masks(index.images[0]["id"]) is masks
+
+
+def test_image_normalization(dataset_path):
+    index = COCOIndex(dataset_path, image_size=96)
+    img = index.load_image(0)
+    assert img.shape == (96, 96, 3)
+    assert img.dtype == np.float32
+    assert -3 < img.mean() < 3
+
+
+def test_clip_dataset_sample(dataset_path):
+    index = COCOIndex(dataset_path, image_size=96)
+    ds = ClipDataset(index, ClipDatasetConfig(
+        clip_length=4, stride=4, prompt_type="point", max_objects=6,
+        num_pos_points=2))
+    s = ds.get(0, np.random.default_rng(0))
+    assert s["images"].shape == (4, 96, 96, 3)
+    assert s["cat_masks"].shape == (4, 3, 96, 96)
+    assert s["obj_masks"].shape == (6, 96, 96)
+    assert s["obj_to_cat"].shape == (6,)
+    valid = s["obj_to_cat"] >= 0
+    assert valid.sum() >= 1
+    # prompts: valid objects have positive labels, padded have -1
+    assert (s["point_labels"][valid] == 1).all()
+    assert (s["point_labels"][~valid] == -1).all()
+    # point coords must lie inside the object mask (center or sampled)
+    for o in np.flatnonzero(valid):
+        x, y = s["point_coords"][o, 1]  # second point is a sampled pixel
+        assert s["obj_masks"][o, int(y), int(x)] > 0
+
+
+def test_box_prompts(dataset_path):
+    index = COCOIndex(dataset_path, image_size=96)
+    ds = ClipDataset(index, ClipDatasetConfig(
+        clip_length=4, stride=4, prompt_type="box", max_objects=6))
+    s = ds.get(0, np.random.default_rng(0))
+    valid = s["obj_to_cat"] >= 0
+    assert (s["point_labels"][valid] == [2, 3]).all()
+
+
+def test_loader_batching_and_sharding(dataset_path):
+    index = COCOIndex(dataset_path, image_size=96)
+    ds = ClipDataset(index, ClipDatasetConfig(clip_length=4, stride=4))
+    loader = ClipLoader(ds, batch_size=2, shuffle=True, seed=1)
+    batches = list(loader)
+    assert len(batches) == 3
+    assert batches[0].images.shape == (2, 4, 96, 96, 3)
+    # host sharding splits the index set
+    l0 = ClipLoader(ds, batch_size=1, shuffle=False, process_index=0,
+                    process_count=2)
+    l1 = ClipLoader(ds, batch_size=1, shuffle=False, process_index=1,
+                    process_count=2)
+    assert len(l0) + len(l1) == 6
+
+
+def test_loader_determinism(dataset_path):
+    index = COCOIndex(dataset_path, image_size=96)
+    ds = ClipDataset(index, ClipDatasetConfig(clip_length=4, stride=4))
+    a = next(iter(ClipLoader(ds, batch_size=1, seed=7)))
+    b = next(iter(ClipLoader(ds, batch_size=1, seed=7)))
+    np.testing.assert_array_equal(a.images, b.images)
+    np.testing.assert_array_equal(a.point_coords, b.point_coords)
