@@ -1,0 +1,203 @@
+"""Training-loop tests: optimizer freezing, schedule parity, train-step smoke,
+checkpoint save/restore, torch->jax converter roundtrip, GSPMD data-parallel
+step on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from sam2_video_tpu.data.types import VideoClipBatch
+from sam2_video_tpu.models import SAM2Config, VideoModelConfig
+from sam2_video_tpu.models import sam2 as sam2_mod
+from sam2_video_tpu.training.checkpoint import (Checkpointer, load_params_npz,
+                                                save_params_npz)
+from sam2_video_tpu.training.convert import convert_state_dict
+from sam2_video_tpu.training.losses import CORE_LOSS_KEY, LossConfig
+from sam2_video_tpu.training.loop import TrainState, make_train_step
+from sam2_video_tpu.training.optimizer import (cosine_schedule_with_warmup,
+                                               make_optimizer,
+                                               trainable_labels)
+from sam2_video_tpu.training.checkpoint import _flatten
+
+
+def tiny_cfg(**kw):
+    base = dict(image_size=64, compute_dtype="float32",
+                use_activation_checkpoint=False)
+    base.update(kw)
+    return SAM2Config(**base)
+
+
+def make_batch(rng, cfg, B=1, T=2, O=2, C=3):
+    H = cfg.image_size
+    images = rng.standard_normal((B, T, H, H, 3)).astype(np.float32)
+    cat_masks = np.zeros((B, T, C, H, H), bool)
+    cat_masks[:, :, 0, 8:24, 8:24] = True
+    cat_masks[:, :, 1, 36:56, 36:56] = True
+    obj_masks = np.zeros((B, O, H, H), np.float32)
+    obj_masks[:, 0, 8:24, 8:24] = 1.0
+    obj_masks[:, 1, 36:56, 36:56] = 1.0
+    obj_to_cat = np.tile(np.array([0, 1], np.int32), (B, 1))
+    coords = np.tile(np.array([[[16, 16]], [[45, 45]]], np.float32), (B, 1, 1, 1))
+    labels = np.ones((B, O, 1), np.int32)
+    return VideoClipBatch(
+        images=jnp.asarray(images), cat_masks=jnp.asarray(cat_masks),
+        obj_masks=jnp.asarray(obj_masks), obj_to_cat=jnp.asarray(obj_to_cat),
+        point_coords=jnp.asarray(coords), point_labels=jnp.asarray(labels))
+
+
+def test_cosine_schedule_matches_transformers():
+    try:
+        import torch
+        from transformers import get_cosine_schedule_with_warmup
+    except Exception:
+        pytest.skip("transformers unavailable")
+    total, warm = 100, 10
+    opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=1.0)
+    sch = get_cosine_schedule_with_warmup(opt, warm, total)
+    ours = cosine_schedule_with_warmup(1.0, warm, total)
+    for step in [0, 1, 5, 10, 11, 50, 99]:
+        want = sch.lr_lambdas[0](step)
+        np.testing.assert_allclose(float(ours(step)), want, atol=1e-6,
+                                   err_msg=f"step {step}")
+
+
+def test_trainable_labels():
+    cfg = tiny_cfg()
+    params = sam2_mod.init(jax.random.PRNGKey(0), cfg)
+    labels = trainable_labels(params, ["memory_attention", "memory_encoder"])
+    assert set(jax.tree.leaves(labels)) <= {"train", "freeze"}
+    la = labels["memory_attention"]["layers"]["0"]["linear1"]["weight"]
+    assert la == "train"
+    assert labels["image_encoder"]["trunk"]["patch_embed"]["proj"]["weight"] \
+        == "freeze"
+    assert labels["sam_mask_decoder"]["iou_token"]["weight"] == "freeze"
+    # bare params stay trainable (reference quirk, model_utils.py:38-50)
+    assert labels["maskmem_tpos_enc"] == "train"
+
+
+def test_frozen_params_do_not_move(rng):
+    cfg = tiny_cfg()
+    params = sam2_mod.init(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(params, {"lr": 1e-2, "type": "AdamW"},
+                        {"enabled": False}, total_steps=10,
+                        trainable_modules=["memory_attention"])
+    mcfg = VideoModelConfig(sam2=cfg, prompt_type="mask")
+    step = make_train_step(mcfg, LossConfig(), tx)
+    state = TrainState.create(params, tx)
+    before = jax.device_get(state.params)
+    batch = make_batch(rng, cfg)
+    state, metrics = step(state, batch)
+    after = jax.device_get(state.params)
+    assert np.isfinite(float(metrics[CORE_LOSS_KEY]))
+    # frozen: image encoder unchanged
+    np.testing.assert_array_equal(
+        before["image_encoder"]["trunk"]["patch_embed"]["proj"]["weight"],
+        after["image_encoder"]["trunk"]["patch_embed"]["proj"]["weight"])
+    # trainable: memory attention moved
+    a = before["memory_attention"]["layers"]["0"]["linear1"]["weight"]
+    b = after["memory_attention"]["layers"]["0"]["linear1"]["weight"]
+    assert np.abs(a - b).max() > 0
+
+
+def test_grad_accumulation_steps_every_k(rng):
+    cfg = tiny_cfg()
+    params = sam2_mod.init(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(params, {"lr": 1e-2}, {"enabled": False}, 10,
+                        ["memory_attention"], accumulate_grad_batches=2)
+    mcfg = VideoModelConfig(sam2=cfg, prompt_type="mask")
+    step = make_train_step(mcfg, LossConfig(), tx)
+    state = TrainState.create(params, tx)
+    batch = make_batch(rng, cfg)
+    p0 = np.asarray(
+        state.params["memory_attention"]["layers"]["0"]["linear1"]["weight"])
+    state, _ = step(state, batch)
+    p1 = np.asarray(
+        state.params["memory_attention"]["layers"]["0"]["linear1"]["weight"])
+    np.testing.assert_array_equal(p0, p1)  # first micro-step: accumulated only
+    state, _ = step(state, batch)
+    p2 = np.asarray(
+        state.params["memory_attention"]["layers"]["0"]["linear1"]["weight"])
+    assert np.abs(p2 - p1).max() > 0       # second micro-step applies
+
+
+def test_data_parallel_step_on_cpu_mesh(rng):
+    from sam2_video_tpu.parallel import mesh as mesh_mod
+    assert len(jax.devices()) == 8
+    mesh = mesh_mod.make_mesh(num_data=8)
+    cfg = tiny_cfg()
+    params = sam2_mod.init(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(params, {"lr": 1e-3}, {"enabled": False}, 10,
+                        ["memory_attention"])
+    mcfg = VideoModelConfig(sam2=cfg, prompt_type="mask")
+    step = make_train_step(mcfg, LossConfig(), tx, mesh=mesh)
+    state = TrainState.create(params, tx)
+    state = mesh_mod.replicate(mesh, state)
+    batch = mesh_mod.shard_batch(mesh, make_batch(rng, cfg, B=8))
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics[CORE_LOSS_KEY]))
+    # sharded-batch mean == local mean of identical clips' losses
+    state2, metrics2 = step(state, batch)
+    assert np.isfinite(float(metrics2[CORE_LOSS_KEY]))
+
+
+def test_checkpointer_topk_and_restore(tmp_path):
+    cfg = tiny_cfg()
+    params = sam2_mod.init(jax.random.PRNGKey(0), cfg)
+    tx = optax.sgd(1e-3)
+    state = TrainState.create(params, tx)
+    ck = Checkpointer(tmp_path, save_top_k=2)
+    ck.save(state, metric=3.0, epoch=0)
+    state2 = TrainState(params=state.params, opt_state=state.opt_state,
+                        step=state.step + 1)
+    ck.save(state2, metric=1.0, epoch=1)
+    state3 = TrainState(params=state.params, opt_state=state.opt_state,
+                        step=state.step + 2)
+    ck.save(state3, metric=2.0, epoch=2)
+    assert len(ck._records) == 2
+    assert ck._records[0]["metric"] == 1.0
+    restored = ck.restore()
+    assert int(restored["step"]) == 1  # best = metric 1.0 at step 1
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["no_mem_embed"]),
+        np.asarray(params["no_mem_embed"]))
+
+
+def test_npz_roundtrip(tmp_path):
+    cfg = tiny_cfg()
+    params = sam2_mod.init(jax.random.PRNGKey(0), cfg)
+    save_params_npz(params, tmp_path / "p.npz")
+    loaded = load_params_npz(tmp_path / "p.npz")
+    flat_a = _flatten(jax.device_get(params))
+    flat_b = _flatten(loaded)
+    assert set(flat_a) == set(flat_b)
+    for k in flat_a:
+        np.testing.assert_array_equal(flat_a[k], flat_b[k])
+
+
+def test_converter_layout_roundtrip():
+    """Build a synthetic torch-layout state dict from our template via the
+    inverse layout transforms, convert, and check exact recovery."""
+    cfg = tiny_cfg()
+    template = sam2_mod.init(jax.random.PRNGKey(0), cfg)
+    flat = _flatten(jax.device_get(template))
+    rng = np.random.default_rng(0)
+    sd = {}
+    for name, v in flat.items():
+        x = rng.standard_normal(v.shape).astype(np.float32)
+        if v.ndim == 4 and ("pos_embed" in name):
+            sd[name] = np.transpose(x, (0, 3, 1, 2))      # NHWC -> NCHW
+        elif v.ndim == 4 and "output_upscaling" in name:
+            sd[name] = np.transpose(x, (2, 3, 0, 1))      # HWIO -> IOHW
+        elif v.ndim == 4 and "maskmem_tpos_enc" not in name:
+            sd[name] = np.transpose(x, (3, 2, 0, 1))      # HWIO -> OIHW
+        else:
+            sd[name] = x
+        flat[name] = x
+    params, report = convert_state_dict(sd, template, strict=True)
+    got = _flatten(params)
+    for name in flat:
+        np.testing.assert_array_equal(got[name], flat[name], err_msg=name)
+    assert not report["missing"] and not report["unexpected"]
