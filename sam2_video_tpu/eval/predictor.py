@@ -1,0 +1,366 @@
+"""Streaming video predictor: init_state / add_new_points_or_box /
+add_new_mask / propagate_in_video (bidirectional).
+
+This replaces the external ``sam2.build_sam2_video_predictor`` capability the
+reference relies on (SURVEY.md §3.2 note): the same SAM2 core drives it, with
+a TPU-friendly split — three jitted fixed-shape device functions (batch image
+encode, prompted conditioning step, memory-conditioned tracking step) reused
+across every clip/video, while the *host* owns the fiddly dynamic logic:
+which frames occupy which memory slot (eval-time r-stride sampling,
+sam2_base.py:565-595), past-only object-pointer selection
+(sam2_base.py:618-647), reverse tracking, and original-resolution mask
+resizing.
+
+Eval frame preprocessing matches the external predictor: squash-resize to
+image_size x image_size (NO aspect-preserving crop — unlike training) and
+ImageNet-normalize; output logits are upsampled back to the original video
+resolution on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.coco import IMAGENET_MEAN, IMAGENET_STD
+from ..models import sam2 as sam2_mod
+from ..models.sam2 import SAM2Config
+from ..ops.resize import resize_bilinear
+from .utils import PromptObj
+
+
+@dataclasses.dataclass
+class InferenceState:
+    num_frames: int
+    orig_hw: tuple[int, int]
+    feats: tuple            # (s0 [T,...], s1 [T,...], s16 [T,...]) on device
+    prompts: dict           # obj_id -> (frame_idx, kind, payload)
+    obj_order: list         # obj_ids in insertion order
+    cond_frame_idx: int | None = None
+
+
+class VideoPredictor:
+    def __init__(self, params, cfg: SAM2Config, max_objects: int = 8,
+                 encode_chunk: int = 8):
+        self.params = params
+        self.cfg = cfg
+        self.max_objects = max_objects
+        self.encode_chunk = encode_chunk
+        self._build_jitted()
+
+    # -- jitted device functions (compiled once, reused across videos) ------
+
+    def _build_jitted(self):
+        cfg = self.cfg
+        O = self.max_objects
+        S = cfg.image_size
+        HW = cfg.num_spatial_tokens
+        F = cfg.feat_size
+        C = cfg.d_model
+
+        @jax.jit
+        def encode(params, images_u8):
+            """images_u8: [B, H, W, 3] uint8 original res -> squash-resized
+            normalized features."""
+            x = images_u8.astype(jnp.float32) / 255.0
+            x = jnp.moveaxis(x, -1, 1)                        # [B,3,H,W]
+            x = resize_bilinear(x, (S, S))
+            x = jnp.moveaxis(x, 1, -1)
+            x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+            out = sam2_mod.forward_image(params, cfg, x)
+            return tuple(out["backbone_fpn"])
+
+        def _posenc():
+            from ..ops.position_encoding import sine_pe_2d
+            return sine_pe_2d(F, F, C).reshape(HW, C)
+
+        @jax.jit
+        def prompt_step(params, s0, s1, s16, point_coords, point_labels,
+                        obj_valid):
+            """Conditioning-frame step with point/box prompts.
+            s*: single-frame features; coords [O, P, 2] in model pixels."""
+            feats = jnp.broadcast_to(s16[None], (O,) + s16.shape)
+            hr = (jnp.broadcast_to(s0[None], (O,) + s0.shape),
+                  jnp.broadcast_to(s1[None], (O,) + s1.shape))
+            pix = feats + params["no_mem_embed"].reshape(1, 1, 1, C).astype(
+                feats.dtype)
+            out = sam2_mod.forward_sam_heads(
+                params, cfg, pix, point_coords=point_coords,
+                point_labels=point_labels, high_res_features=hr,
+                multimask_output=False, training=False)
+            mem, mem_pos = sam2_mod.encode_new_memory(
+                params, cfg, feats, out["high_res_masks"],
+                out["object_score_logits"], training=False,
+                apply_non_overlap=cfg.non_overlap_masks_for_mem_enc)
+            return out, mem.reshape(O, HW, cfg.mem_dim), mem_pos
+
+        @jax.jit
+        def mask_prompt_step(params, s0, s1, s16, mask_inputs, obj_valid):
+            """Conditioning step with mask prompts: mask-as-output bypass
+            (sam2_base.py:799-809 always applies at eval)."""
+            feats = jnp.broadcast_to(s16[None], (O,) + s16.shape)
+            hr = (jnp.broadcast_to(s0[None], (O,) + s0.shape),
+                  jnp.broadcast_to(s1[None], (O,) + s1.shape))
+            if cfg.use_mask_input_as_output_without_sam:
+                out = sam2_mod.use_mask_as_output(
+                    params, cfg, feats, hr, mask_inputs[..., None],
+                    training=False)
+            else:
+                pix = feats + params["no_mem_embed"].reshape(1, 1, 1, C
+                                                             ).astype(feats.dtype)
+                out = sam2_mod.forward_sam_heads(
+                    params, cfg, pix, mask_inputs=mask_inputs[..., None],
+                    high_res_features=hr, training=False)
+            mem, mem_pos = sam2_mod.encode_new_memory(
+                params, cfg, feats, out["high_res_masks"],
+                out["object_score_logits"], training=False,
+                apply_non_overlap=cfg.non_overlap_masks_for_mem_enc)
+            return out, mem.reshape(O, HW, cfg.mem_dim), mem_pos
+
+        M = cfg.num_maskmem
+        P = cfg.max_obj_ptrs_in_encoder
+        layout = sam2_mod.MemoryLayout(
+            num_maskmem=M, tokens_per_slot=HW,
+            num_ptrs=P if cfg.use_obj_ptrs_in_encoder else 0,
+            tokens_per_ptr=cfg.ptr_tokens_per_obj)
+
+        @jax.jit
+        def track_step(params, s0, s1, s16, spatial_mem, spatial_valid,
+                       tpos_index, obj_ptrs, ptr_valid, ptr_tpos, t_diff_max,
+                       mem_pos):
+            curr = jnp.broadcast_to(
+                s16.reshape(1, HW, C), (O, HW, C))
+            fused = sam2_mod.fuse_memory(
+                params, cfg, layout, curr, self._curr_pos, spatial_mem,
+                spatial_valid, mem_pos, tpos_index, obj_ptrs, ptr_valid,
+                ptr_tpos, training=False, t_diff_max=t_diff_max)
+            fused = fused.reshape(O, F, F, C)
+            hr = (jnp.broadcast_to(s0[None], (O,) + s0.shape),
+                  jnp.broadcast_to(s1[None], (O,) + s1.shape))
+            out = sam2_mod.forward_sam_heads(
+                params, cfg, fused, high_res_features=hr,
+                multimask_output=False, training=False)
+            feats = jnp.broadcast_to(s16[None], (O,) + s16.shape)
+            mem, _ = sam2_mod.encode_new_memory(
+                params, cfg, feats, out["high_res_masks"],
+                out["object_score_logits"], training=False,
+                apply_non_overlap=cfg.non_overlap_masks_for_mem_enc)
+            return out, mem.reshape(O, HW, cfg.mem_dim)
+
+        @partial(jax.jit, static_argnums=(1,))
+        def to_orig(logits, orig_hw):
+            """[O, 1, S, S] logits -> (mask bool [O, 1, h, w],
+            probs f16, score [O])."""
+            up = resize_bilinear(logits, orig_hw)
+            probs = jax.nn.sigmoid(up)
+            return up > 0.0, probs.astype(jnp.bfloat16), jnp.mean(
+                probs, axis=(1, 2, 3))
+
+        self._encode = encode
+        self._prompt_step = prompt_step
+        self._mask_prompt_step = mask_prompt_step
+        self._track_step = track_step
+        self._to_orig = to_orig
+        self._curr_pos = _posenc()
+        self._layout = layout
+
+    # -- public API ---------------------------------------------------------
+
+    def init_state(self, frames: np.ndarray) -> InferenceState:
+        """frames: [T, H, W, 3] uint8 at original video resolution."""
+        T, H, W, _ = frames.shape
+        chunks = []
+        for i in range(0, T, self.encode_chunk):
+            chunk = frames[i: i + self.encode_chunk]
+            chunks.append(self._encode(self.params, jnp.asarray(chunk)))
+        feats = tuple(jnp.concatenate([c[j] for c in chunks], axis=0)
+                      for j in range(3))
+        return InferenceState(num_frames=T, orig_hw=(H, W), feats=feats,
+                              prompts={}, obj_order=[])
+
+    def _scale_points(self, points, orig_hw):
+        h, w = orig_hw
+        s = self.cfg.image_size
+        pts = np.asarray(points, np.float32).reshape(-1, 2).copy()
+        pts[:, 0] *= s / w
+        pts[:, 1] *= s / h
+        return pts
+
+    def add_new_points_or_box(self, state: InferenceState, frame_idx: int,
+                              obj_id, points=None, labels=None, box=None):
+        if box is not None:
+            pts = self._scale_points(
+                np.asarray(box, np.float32).reshape(2, 2), state.orig_hw)
+            lbl = np.asarray([2, 3], np.int32)
+        else:
+            pts = self._scale_points(points, state.orig_hw)
+            lbl = np.asarray(labels, np.int32).reshape(-1)
+        self._add(state, frame_idx, obj_id, ("points", pts, lbl))
+
+    def add_new_mask(self, state: InferenceState, frame_idx: int, obj_id,
+                     mask: np.ndarray):
+        s = self.cfg.image_size
+        from PIL import Image
+        m = Image.fromarray((np.asarray(mask) > 0).astype(np.uint8) * 255)
+        m = m.resize((s, s), Image.BILINEAR)
+        self._add(state, frame_idx, obj_id,
+                  ("mask", (np.asarray(m) > 127).astype(np.float32), None))
+
+    def _add(self, state, frame_idx, obj_id, payload):
+        if obj_id not in state.prompts:
+            if len(state.obj_order) >= self.max_objects:
+                raise ValueError(
+                    f"more than max_objects={self.max_objects} objects; "
+                    "raise model.max_objects")
+            state.obj_order.append(obj_id)
+        state.prompts[obj_id] = (frame_idx, payload)
+        state.cond_frame_idx = frame_idx
+
+    # -- propagation --------------------------------------------------------
+
+    def _run_cond_frame(self, state: InferenceState):
+        """Run the conditioning step for all prompted objects (all prompts
+        share one frame in the reference flow)."""
+        cfg = self.cfg
+        O = self.max_objects
+        f = state.cond_frame_idx
+        assert f is not None, "no prompts added"
+        s0, s1, s16 = (x[f] for x in state.feats)
+        kinds = {state.prompts[o][1][0] for o in state.obj_order}
+        obj_valid = np.zeros((O,), bool)
+        obj_valid[: len(state.obj_order)] = True
+        if kinds == {"mask"}:
+            S = cfg.image_size
+            masks = np.zeros((O, S, S), np.float32)
+            for i, o in enumerate(state.obj_order):
+                masks[i] = state.prompts[o][1][1]
+            out, mem, mem_pos = self._mask_prompt_step(
+                self.params, s0, s1, s16, jnp.asarray(masks),
+                jnp.asarray(obj_valid))
+        else:
+            maxp = max((len(state.prompts[o][1][1])
+                        for o in state.obj_order), default=1)
+            coords = np.zeros((O, maxp, 2), np.float32)
+            labels = -np.ones((O, maxp), np.int32)
+            for i, o in enumerate(state.obj_order):
+                _, (kind, pts, lbl) = state.prompts[o]
+                coords[i, : len(pts)] = pts
+                labels[i, : len(pts)] = lbl
+            out, mem, mem_pos = self._prompt_step(
+                self.params, s0, s1, s16, jnp.asarray(coords),
+                jnp.asarray(labels), jnp.asarray(obj_valid))
+        return out, mem, mem_pos
+
+    def propagate_in_video(self, state: InferenceState,
+                           reverse: bool = False) -> Iterator[tuple]:
+        """Yields (frame_idx, obj_ids, mask_logits [O_real, 1, h, w] jnp (on
+        demand via .logits), mask bool, probs, score) as a simple namespace —
+        kept close to the external predictor's (idx, ids, logits) triple: we
+        yield (frame_idx, obj_ids, mask [O,1,h,w] bool, probs f16, score)."""
+        cfg = self.cfg
+        f = state.cond_frame_idx
+        T = state.num_frames
+        out, cond_mem, mem_pos = self._run_cond_frame(state)
+        n_obj = len(state.obj_order)
+
+        mem_bank = {f: (cond_mem, np.asarray(out["obj_ptr"]))}
+        cond_ptr = out["obj_ptr"]
+
+        def emit(frame_idx, logits):
+            mask, probs, score = self._to_orig(logits, state.orig_hw)
+            return (frame_idx, list(state.obj_order),
+                    np.asarray(mask)[:n_obj], np.asarray(probs)[:n_obj],
+                    np.asarray(score)[:n_obj])
+
+        frame_order = ([f] + list(range(f - 1, -1, -1)) if reverse
+                       else [f] + list(range(f + 1, T)))
+        for t in frame_order:
+            if t == f:
+                yield emit(t, out["high_res_masks"])
+                continue
+            sm, sv, tpos, ptrs, pv, pt, tdm = self._assemble_memory(
+                state, mem_bank, cond_mem, cond_ptr, t, f, reverse)
+            s0, s1, s16 = (x[t] for x in state.feats)
+            out_t, new_mem = self._track_step(
+                self.params, s0, s1, s16, sm, sv, tpos, ptrs, pv, pt,
+                jnp.float32(tdm), mem_pos.reshape(-1, cfg.mem_dim))
+            mem_bank[t] = (new_mem, np.asarray(out_t["obj_ptr"]))
+            yield emit(t, out_t["high_res_masks"])
+
+    def _assemble_memory(self, state, mem_bank, cond_mem, cond_ptr,
+                         frame_idx, cond_f, reverse):
+        """Host-side memory-slot selection (sam2_base.py:549-675 eval rules):
+        slot 0 = conditioning frame; slots 1..M-1 = non-cond frames chosen by
+        the r-stride rule; pointer slots = cond pointer + past frames."""
+        cfg = self.cfg
+        O = self.max_objects
+        HW = cfg.num_spatial_tokens
+        M = cfg.num_maskmem
+        r = max(cfg.memory_temporal_stride_for_eval, 1)
+
+        slots = [cond_mem]
+        valid = [True]
+        for t_pos in range(1, M):
+            t_rel = M - t_pos
+            if t_rel == 1:
+                prev = frame_idx + 1 if reverse else frame_idx - 1
+            else:
+                if not reverse:
+                    prev = ((frame_idx - 2) // r) * r - (t_rel - 2) * r
+                else:
+                    prev = -(-(frame_idx + 2) // r) * r + (t_rel - 2) * r
+            entry = mem_bank.get(prev) if prev != cond_f else None
+            if entry is None:
+                slots.append(jnp.zeros((O, HW, cfg.mem_dim), jnp.float32))
+                valid.append(False)
+            else:
+                slots.append(entry[0])
+                valid.append(True)
+        # tpos embedding index parity: reference adds
+        # maskmem_tpos_enc[M - t_pos - 1] (sam2_base.py:608-610); slots are
+        # built in t_pos order (cond first with t_pos=0 -> index M-1)
+        tpos_index = [M - 1] + [M - t_pos - 1 for t_pos in range(1, M)]
+
+        spatial_mem = jnp.stack(slots, axis=0)
+        spatial_valid = jnp.asarray(valid)
+        tpos_idx = jnp.asarray(tpos_index, jnp.int32)
+
+        P = self._layout.num_ptrs
+        ptrs = np.zeros((P, O, cfg.d_model), np.float32)
+        pvalid = np.zeros((P,), bool)
+        ptpos = np.zeros((P,), np.float32)
+        if P > 0:
+            max_ptrs = min(state.num_frames, cfg.max_obj_ptrs_in_encoder)
+            sign = -1.0 if reverse else 1.0
+            # conditioning pointer: only if in the past (eval rule)
+            idx = 0
+            include_cond = (cond_f >= frame_idx if reverse
+                            else cond_f <= frame_idx) or \
+                not cfg.only_obj_ptrs_in_the_past_for_eval
+            if include_cond:
+                ptrs[idx] = cond_ptr
+                pvalid[idx] = True
+                ptpos[idx] = ((frame_idx - cond_f) * sign
+                              if cfg.use_signed_tpos_enc_to_obj_ptrs
+                              else abs(frame_idx - cond_f))
+                idx += 1
+            for t_diff in range(1, max_ptrs):
+                t = frame_idx + t_diff if reverse else frame_idx - t_diff
+                if t < 0 or t >= state.num_frames:
+                    break
+                entry = mem_bank.get(t)
+                if entry is not None and t != cond_f and idx < P:
+                    ptrs[idx] = entry[1]
+                    pvalid[idx] = True
+                    ptpos[idx] = t_diff
+                    idx += 1
+            t_diff_max = max(max_ptrs - 1, 1)
+        else:
+            t_diff_max = 1
+        return (spatial_mem, spatial_valid, tpos_idx, jnp.asarray(ptrs),
+                jnp.asarray(pvalid), jnp.asarray(ptpos), t_diff_max)

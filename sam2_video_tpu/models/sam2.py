@@ -454,7 +454,7 @@ def memory_layout(cfg: SAM2Config, num_frames: int) -> MemoryLayout:
 def fuse_memory(p, cfg: SAM2Config, layout: MemoryLayout,
                 curr_feat, curr_pos, spatial_mem, spatial_valid,
                 mem_pos_spatial, tpos_index, obj_ptrs, ptr_valid, ptr_tpos,
-                training=True):
+                training=True, t_diff_max=None):
     """Run memory attention over the fixed-shape memory bank.
 
     curr_feat:      [O, HW, C]   current-frame stride-16 features
@@ -484,7 +484,8 @@ def fuse_memory(p, cfg: SAM2Config, layout: MemoryLayout,
 
     if layout.num_ptrs > 0:
         P, tpp = layout.num_ptrs, layout.tokens_per_ptr
-        t_diff_max = max(P - 1, 1)
+        if t_diff_max is None:
+            t_diff_max = max(P - 1, 1)
         if cfg.add_tpos_enc_to_obj_ptrs:
             tdim = C if cfg.proj_tpos_enc_in_obj_ptrs else cfg.mem_dim
             pos1d = sine_pe_1d(ptr_tpos / t_diff_max, tdim)  # [P, tdim]

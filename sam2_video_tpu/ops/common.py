@@ -118,12 +118,14 @@ def conv2d(p, x, stride=1, padding=0, groups: int = 1):
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
     w = p["weight"].astype(x.dtype)
+    # no preferred_element_type: the MXU accumulates bf16 convs in f32
+    # internally, and a strict-dtype lax op must see matching operand dtypes
+    # in the transpose (backward) conv as well.
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=stride, padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     return y
