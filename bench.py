@@ -23,7 +23,16 @@ A100_BASELINE_CLIPS_PER_SEC = 2.0
 
 
 def main():
+    import pathlib
+
     import jax
+    cache = pathlib.Path(__file__).resolve().parent / ".jax_cache"
+    cache.mkdir(exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
 
     from sam2_video_tpu.models import VideoModelConfig
     from sam2_video_tpu.models import sam2 as sam2_mod
@@ -43,18 +52,21 @@ def main():
                         trainable_modules=["memory_attention",
                                            "memory_encoder"])
     state = TrainState.create(params, tx)
-    step = make_train_step(mcfg, LossConfig(), tx)
+    step = make_train_step(mcfg, LossConfig(), tx,
+                           trainable_modules=["memory_attention",
+                                              "memory_encoder"])
     batch = _example_clip(S, T=T, O=O, C=C, B=B)
 
-    # warmup / compile
+    # warmup / compile (device_get forces execution; on this TPU tunnel
+    # backend block_until_ready can return before the device finishes)
     state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["total_loss"])
+    float(jax.device_get(metrics["total_loss"]))
 
     n_steps = 10
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["total_loss"])
+    float(jax.device_get(metrics["total_loss"]))
     dt = time.perf_counter() - t0
 
     clips_per_sec = B * n_steps / dt

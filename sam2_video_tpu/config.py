@@ -111,10 +111,20 @@ def _load_tree(name: str, config_dir: Path) -> dict:
 def _load_group(group: str, option: str, config_dir: Path) -> dict:
     path = config_dir / group / f"{option}.yaml"
     data, is_global = _read_yaml(path)
-    data.pop("defaults", None)
+    defaults = data.pop("defaults", None)
+    merged: dict = {}
+    # combo files reference their dataset via "- /data/<name>@data"
+    for entry in defaults or []:
+        if isinstance(entry, str) and "@" in entry:
+            src, _, dst = entry.partition("@")
+            g, opt = src.strip("/").split("/", 1)
+            sub, _ = _read_yaml(config_dir / g / f"{opt}.yaml")
+            sub.pop("defaults", None)
+            merged = _deep_merge(merged, {dst: sub})
+    merged = _deep_merge(merged, data)
     if is_global:
-        return data
-    return {group: data}
+        return merged
+    return {group: merged}
 
 
 _INTERP_RE = re.compile(r"^\$\{([a-zA-Z0-9_.]+)\}$")

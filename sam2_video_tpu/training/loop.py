@@ -60,12 +60,31 @@ def batched_loss_fn(mcfg: VideoModelConfig, lcfg: LossConfig,
 
 
 def make_train_step(mcfg: VideoModelConfig, lcfg: LossConfig, tx,
-                    mesh=None) -> Callable:
+                    mesh=None, trainable_modules=None) -> Callable:
+    """When ``trainable_modules`` is given, gradients are computed ONLY with
+    respect to those subtrees (plus bare params) — the reference's
+    requires_grad=False equivalent. This prunes the entire backward pass of
+    frozen modules (e.g. the Hiera encoder under the default mem-only
+    fine-tuning combos) instead of computing and zeroing their grads."""
+    from .optimizer import partition_params
+
     loss_fn = batched_loss_fn(mcfg, lcfg, training=True)
 
     def step_fn(state: TrainState, batch: VideoClipBatch):
-        (_, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, batch)
+        if trainable_modules is None:
+            (_, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, batch)
+        else:
+            train_p, frozen_p = partition_params(state.params,
+                                                 trainable_modules)
+            frozen_p = jax.lax.stop_gradient(frozen_p)
+
+            def loss_on_trainable(tp, batch):
+                return loss_fn({**frozen_p, **tp}, batch)
+
+            (_, metrics), grads_t = jax.value_and_grad(
+                loss_on_trainable, has_aux=True)(train_p, batch)
+            grads = {**jax.tree.map(jnp.zeros_like, frozen_p), **grads_t}
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics["grad_norm"] = optax.global_norm(grads)

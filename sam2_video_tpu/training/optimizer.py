@@ -45,18 +45,26 @@ def cosine_schedule_with_warmup(peak_lr: float, warmup_steps: int,
     return schedule
 
 
+def top_level_label(top_key: str, trainable_modules: Sequence[str]) -> str:
+    mapped_keys = {v[0]: k for k, v in MODULE_MAPPING.items()}
+    if top_key in mapped_keys:
+        return ("train" if mapped_keys[top_key] in trainable_modules
+                else "freeze")
+    return "train"  # bare params: reference leaves them trainable
+
+
+def partition_params(params, trainable_modules: Sequence[str]):
+    """Split the param dict into (trainable, frozen) top-level subtrees."""
+    train = {k: v for k, v in params.items()
+             if top_level_label(k, trainable_modules) == "train"}
+    frozen = {k: v for k, v in params.items() if k not in train}
+    return train, frozen
+
+
 def trainable_labels(params, trainable_modules: Sequence[str]):
     """Label tree: 'train' / 'freeze' per top-level entry."""
-    mapped_keys = {v[0]: k for k, v in MODULE_MAPPING.items()}
-
-    def label_for(top_key: str) -> str:
-        if top_key in mapped_keys:
-            module_name = mapped_keys[top_key]
-            return ("train" if module_name in trainable_modules else "freeze")
-        return "train"  # bare params: reference leaves them trainable
-
     return {
-        k: jax.tree.map(lambda _: label_for(k), v)
+        k: jax.tree.map(lambda _: top_level_label(k, trainable_modules), v)
         for k, v in params.items()
     }
 
