@@ -213,6 +213,7 @@ def model_config(cfg: Config):
         num_maskmem=int(m.get("num_maskmem", 7)),
         memory_temporal_stride_for_eval=int(
             m.get("memory_temporal_stride_for_eval", 1)),
+        use_flash_attention=bool(m.get("use_flash_attention", True)),
     )
     return VideoModelConfig(sam2=sam2, prompt_type=m.get("prompt_type", "point"))
 

@@ -40,6 +40,9 @@ class MemoryAttentionConfig:
     pos_enc_at_cross_attn_keys: bool = True
     pos_enc_at_cross_attn_queries: bool = False
     activation: str = "relu"
+    # route the big cross-attention (576 q x ~4k keys) through the Pallas
+    # flash kernel on TPU (ops/flash_attention.py); XLA sdpa otherwise
+    use_flash: bool = True
 
 
 def _rope_attn_init(key, embed_dim, num_heads, kv_in_dim=None):
@@ -92,9 +95,11 @@ def _self_attn(p, cfg, tgt, query_pos, rope_q):
 
 
 def _cross_attn(p, cfg, tgt, memory, query_pos, pos, rope_q, rope_k,
-                num_spatial_k: int, bias):
+                num_spatial_k: int, key_valid):
     """Cross-attention: q gets RoPE; the first ``num_spatial_k`` keys get the
-    tiled RoPE; trailing (object-pointer) keys are left unrotated."""
+    tiled RoPE; trailing (object-pointer) keys are left unrotated. Invalid
+    memory slots are removed via an additive key bias; on TPU this runs
+    through the Pallas flash kernel."""
     tgt2 = nn.layer_norm(p["norm2"], tgt)
     q_in = tgt2 + query_pos if cfg.pos_enc_at_cross_attn_queries else tgt2
     k_in = memory + pos if cfg.pos_enc_at_cross_attn_keys else memory
@@ -105,13 +110,23 @@ def _cross_attn(p, cfg, tgt, memory, query_pos, pos, rope_q, rope_k,
     q = apply_rope(q, *rope_q)
     k_spatial = apply_rope(k[..., :num_spatial_k, :], *rope_k)
     k = jnp.concatenate([k_spatial, k[..., num_spatial_k:, :]], axis=-2)
-    out = nn.linear(ap["out_proj"], merge_heads(sdpa(q, k, v, bias)))
+    key_bias = None
+    if key_valid is not None:
+        key_bias = jnp.where(key_valid, 0.0, -1e9).astype(jnp.float32)
+    if cfg.use_flash:
+        from ..ops.flash_attention import flash_attention
+        attn = flash_attention(q, k, v, key_bias)
+    else:
+        bias = (key_bias[None, None, None, :]
+                if key_bias is not None else None)
+        attn = sdpa(q, k, v, bias)
+    out = nn.linear(ap["out_proj"], merge_heads(attn))
     return tgt + out
 
 
 def apply(p, cfg: MemoryAttentionConfig, curr, memory, curr_pos, memory_pos,
           feat_hw: tuple[int, int], num_spatial_k: int,
-          key_bias: jnp.ndarray | None = None):
+          key_valid: jnp.ndarray | None = None):
     """
     curr:       [B, Lq, d_model]   current-frame features (queries)
     memory:     [B, Lk, kv_in_dim] memory tokens (spatial slots then pointers)
@@ -119,8 +134,7 @@ def apply(p, cfg: MemoryAttentionConfig, curr, memory, curr_pos, memory_pos,
     memory_pos: [B or 1, Lk, kv_in_dim]
     feat_hw:    (H, W) of the query feature map; H*W == Lq
     num_spatial_k: leading key count that receives tiled RoPE
-    key_bias:   broadcastable to [B, 1, Lq, Lk] additive f32 mask
-                (-inf-style for invalid memory slots)
+    key_valid:  [Lk] bool — False keys are masked out of attention
     """
     h, w = feat_hw
     assert h * w == curr.shape[-2]
@@ -139,7 +153,7 @@ def apply(p, cfg: MemoryAttentionConfig, curr, memory, curr_pos, memory_pos,
         lp = p["layers"][str(i)]
         output = _self_attn(lp, cfg, output, curr_pos, rope_q)
         output = _cross_attn(lp, cfg, output, memory, curr_pos, memory_pos,
-                             rope_q, rope_k, num_spatial_k, key_bias)
+                             rope_q, rope_k, num_spatial_k, key_valid)
         tgt2 = nn.layer_norm(lp["norm3"], output)
         tgt2 = nn.linear(lp["linear2"], act(nn.linear(lp["linear1"], tgt2)))
         output = output + tgt2

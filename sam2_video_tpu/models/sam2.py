@@ -103,6 +103,7 @@ class SAM2Config:
     # training
     use_activation_checkpoint: bool = True
     compute_dtype: str = "bfloat16"  # activations dtype for encoder/attention
+    use_flash_attention: bool = True  # Pallas kernel for memory cross-attn
     # Reference parity: the simplified trainer detaches every memory-bank
     # entry (sam2model.py:345-358), truncating BPTT at frame boundaries —
     # which also means the memory *encoder* receives no gradient there.
@@ -149,7 +150,8 @@ class SAM2Config:
     @property
     def memory_attention_config(self) -> memory_attention_mod.MemoryAttentionConfig:
         return memory_attention_mod.MemoryAttentionConfig(
-            d_model=self.d_model, kv_in_dim=self.mem_dim)
+            d_model=self.d_model, kv_in_dim=self.mem_dim,
+            use_flash=self.use_flash_attention)
 
     @property
     def memory_encoder_config(self) -> memory_encoder_mod.MemoryEncoderConfig:
@@ -503,15 +505,12 @@ def fuse_memory(p, cfg: SAM2Config, layout: MemoryLayout,
         token_valid = jnp.concatenate(
             [token_valid, jnp.repeat(ptr_valid, tpp)])
 
-    bias = jnp.where(token_valid, 0.0, -1e9).astype(jnp.float32)
-    bias = bias[None, None, None, :]  # [1(B), 1(heads), 1(q), Lk]
-
     def _attend(cf, mem, mem_p):
         return memory_attention_mod.apply(
             p["memory_attention"], cfg.memory_attention_config,
             cf, mem, curr_pos[None].astype(dt), mem_p,
             feat_hw=(cfg.feat_size, cfg.feat_size),
-            num_spatial_k=layout.num_spatial_tokens, key_bias=bias)
+            num_spatial_k=layout.num_spatial_tokens, key_valid=token_valid)
 
     if cfg.use_activation_checkpoint and training:
         _attend = jax.checkpoint(_attend)
