@@ -112,6 +112,100 @@ def generate_point_prompt(obj_masks: np.ndarray, num_pos: int, num_neg: int,
     return coords, labels
 
 
+def sample_box_points(obj_masks: np.ndarray, rng: np.random.Generator,
+                      noise: float = 0.1, noise_bound: int = 20):
+    """Noised box-corner prompts (interactive-training sampler parity,
+    reference modeling/sam2_utils.py:156-198). obj_masks [O, H, W] ->
+    (coords [O, 2, 2], labels [O, 2] with 2/3)."""
+    O, H, W = obj_masks.shape
+    coords = np.zeros((O, 2, 2), np.float32)
+    labels = -np.ones((O, 2), np.int32)
+    for o in range(O):
+        ys, xs = np.nonzero(obj_masks[o] > 0)
+        if xs.size == 0:
+            continue
+        box = np.asarray([xs.min(), ys.min(), xs.max(), ys.max()], np.float32)
+        if noise > 0:
+            bw, bh = box[2] - box[0], box[3] - box[1]
+            max_dx = min(bw * noise, noise_bound)
+            max_dy = min(bh * noise, noise_bound)
+            jitter = (2 * rng.random(4) - 1) * np.asarray(
+                [max_dx, max_dy, max_dx, max_dy])
+            box = np.clip(box + jitter, 0,
+                          np.asarray([W - 1, H - 1, W - 1, H - 1]))
+        coords[o] = box.reshape(2, 2)
+        labels[o] = (2, 3)
+    return coords, labels
+
+
+def sample_random_points_from_errors(gt_masks, pred_masks,
+                                     rng: np.random.Generator, num_pt=1):
+    """Correction clicks from FP/FN error regions (sam2_utils.py:201-249).
+    gt/pred: [O, H, W] bool -> (points [O, num_pt, 2], labels [O, num_pt])."""
+    gt = np.asarray(gt_masks) > 0
+    pred = (np.zeros_like(gt) if pred_masks is None
+            else np.asarray(pred_masks) > 0)
+    O, H, W = gt.shape
+    fp = ~gt & pred
+    fn = gt & ~pred
+    all_correct = (gt == pred).reshape(O, -1).all(axis=1)
+    points = np.zeros((O, num_pt, 2), np.float32)
+    labels = np.zeros((O, num_pt), np.int32)
+    for o in range(O):
+        noise = rng.random((num_pt, H, W, 2))
+        neg_region = fp[o] | (all_correct[o] & ~gt[o])
+        noise[..., 0] *= neg_region
+        noise[..., 1] *= fn[o]
+        flat = noise.reshape(num_pt, -1)
+        idx = flat.argmax(axis=1)
+        labels[o] = (idx % 2).astype(np.int32)
+        pix = idx // 2
+        points[o, :, 0] = pix % W
+        points[o, :, 1] = pix // W
+    return points, labels
+
+
+def sample_one_point_from_error_center(gt_masks, pred_masks, padding=True):
+    """RITM-style click at the interior point of the largest error region
+    (sam2_utils.py:252-311). Returns (points [O, 1, 2], labels [O, 1])."""
+    import cv2
+    gt = np.asarray(gt_masks) > 0
+    pred = (np.zeros_like(gt) if pred_masks is None
+            else np.asarray(pred_masks) > 0)
+    O, H, W = gt.shape
+    points = np.zeros((O, 1, 2), np.float32)
+    labels = np.ones((O, 1), np.int32)
+    for o in range(O):
+        fn = (gt[o] & ~pred[o]).astype(np.uint8)
+        fp = (~gt[o] & pred[o]).astype(np.uint8)
+        if padding:
+            fn = np.pad(fn, 1)
+            fp = np.pad(fp, 1)
+        fn_dt = cv2.distanceTransform(fn, cv2.DIST_L2, 0)
+        fp_dt = cv2.distanceTransform(fp, cv2.DIST_L2, 0)
+        if padding:
+            fn_dt = fn_dt[1:-1, 1:-1]
+            fp_dt = fp_dt[1:-1, 1:-1]
+        fn_flat, fp_flat = fn_dt.reshape(-1), fp_dt.reshape(-1)
+        fn_arg, fp_arg = fn_flat.argmax(), fp_flat.argmax()
+        is_pos = fn_flat[fn_arg] > fp_flat[fp_arg]
+        idx = fn_arg if is_pos else fp_arg
+        points[o, 0] = (idx % W, idx // W)
+        labels[o, 0] = int(is_pos)
+    return points, labels
+
+
+def get_next_point(gt_masks, pred_masks, method: str,
+                   rng: np.random.Generator | None = None):
+    """Iterative-correction click dispatcher (sam2_utils.py:314-323)."""
+    if method == "uniform":
+        return sample_random_points_from_errors(
+            gt_masks, pred_masks, rng or np.random.default_rng())
+    if method == "center":
+        return sample_one_point_from_error_center(gt_masks, pred_masks)
+    raise ValueError(f"unknown sampling method {method}")
+
+
 def generate_box_prompt(obj_masks: np.ndarray):
     """obj_masks [O, H, W] -> corner coords [O, 2, 2], labels [O, 2] (2, 3)."""
     O = obj_masks.shape[0]
