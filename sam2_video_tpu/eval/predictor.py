@@ -231,30 +231,48 @@ class VideoPredictor:
         f = state.cond_frame_idx
         assert f is not None, "no prompts added"
         s0, s1, s16 = (x[f] for x in state.feats)
-        kinds = {state.prompts[o][1][0] for o in state.obj_order}
         obj_valid = np.zeros((O,), bool)
         obj_valid[: len(state.obj_order)] = True
-        if kinds == {"mask"}:
+        mask_objs = [i for i, o in enumerate(state.obj_order)
+                     if state.prompts[o][1][0] == "mask"]
+        point_objs = [i for i, o in enumerate(state.obj_order)
+                      if state.prompts[o][1][0] == "points"]
+
+        results = []
+        if mask_objs:
             S = cfg.image_size
             masks = np.zeros((O, S, S), np.float32)
-            for i, o in enumerate(state.obj_order):
-                masks[i] = state.prompts[o][1][1]
-            out, mem, mem_pos = self._mask_prompt_step(
+            for i in mask_objs:
+                masks[i] = state.prompts[state.obj_order[i]][1][1]
+            results.append((mask_objs, self._mask_prompt_step(
                 self.params, s0, s1, s16, jnp.asarray(masks),
-                jnp.asarray(obj_valid))
-        else:
-            maxp = max((len(state.prompts[o][1][1])
-                        for o in state.obj_order), default=1)
+                jnp.asarray(obj_valid))))
+        if point_objs:
+            maxp = max(len(state.prompts[state.obj_order[i]][1][1])
+                       for i in point_objs)
             coords = np.zeros((O, maxp, 2), np.float32)
             labels = -np.ones((O, maxp), np.int32)
-            for i, o in enumerate(state.obj_order):
-                _, (kind, pts, lbl) = state.prompts[o]
+            for i in point_objs:
+                _, (kind, pts, lbl) = state.prompts[state.obj_order[i]]
                 coords[i, : len(pts)] = pts
                 labels[i, : len(pts)] = lbl
-            out, mem, mem_pos = self._prompt_step(
+            results.append((point_objs, self._prompt_step(
                 self.params, s0, s1, s16, jnp.asarray(coords),
-                jnp.asarray(labels), jnp.asarray(obj_valid))
-        return out, mem, mem_pos
+                jnp.asarray(labels), jnp.asarray(obj_valid))))
+
+        if len(results) == 1:
+            return results[0][1]
+        # mixed prompt kinds: merge per-object rows from both passes
+        sel = np.zeros((O,), bool)
+        sel[mask_objs] = True  # True -> take the mask-pass row
+
+        def merge(a, b):
+            s = jnp.asarray(sel).reshape((O,) + (1,) * (a.ndim - 1))
+            return jnp.where(s, a, b)
+
+        (_, (out_m, mem_m, pos_m)), (_, (out_p, mem_p, _)) = results
+        out = {k: merge(out_m[k], out_p[k]) for k in out_m}
+        return out, merge(mem_m, mem_p), pos_m
 
     def propagate_in_video(self, state: InferenceState,
                            reverse: bool = False) -> Iterator[tuple]:

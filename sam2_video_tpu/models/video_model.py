@@ -111,6 +111,11 @@ def forward_train(params, mcfg: VideoModelConfig, clip: VideoClip,
     R = cfg.num_maskmem - 1                       # non-cond spatial slots
     Pn = max(layout.num_ptrs - 1, 0)              # non-cond pointer slots
     mm_track = _use_multimask(cfg, False, 0)
+    # the scan body is rematerialized as a whole (below); nesting the inner
+    # per-module jax.checkpoint wrappers inside it would recompute forwards
+    # twice in the backward pass, so disable them within the body
+    body_cfg = (dataclasses.replace(cfg, use_activation_checkpoint=False)
+                if cfg.use_activation_checkpoint and training else cfg)
 
     tpos_index = jnp.concatenate([
         jnp.asarray([cfg.num_maskmem - 1]), jnp.arange(R)])  # [M]
@@ -137,19 +142,19 @@ def forward_train(params, mcfg: VideoModelConfig, clip: VideoClip,
 
         curr = _broadcast_obj(s16_t.reshape(HW, C), O)
         fused = sam2_mod.fuse_memory(
-            params, cfg, layout, curr, curr_pos, spatial_mem, spatial_valid,
-            mem_pos, tpos_index, obj_ptrs, ptr_valid, ptr_tpos,
+            params, body_cfg, layout, curr, curr_pos, spatial_mem,
+            spatial_valid, mem_pos, tpos_index, obj_ptrs, ptr_valid, ptr_tpos,
             training=training)
         fused = fused.reshape(O, F, F, C)
 
         hr = (_broadcast_obj(s0_t, O), _broadcast_obj(s1_t, O))
         out_t = sam2_mod.forward_sam_heads(
-            params, cfg, fused, high_res_features=hr,
+            params, body_cfg, fused, high_res_features=hr,
             multimask_output=mm_track, training=training)
 
         pix_raw = _broadcast_obj(s16_t, O)
         new_mem, _ = sam2_mod.encode_new_memory(
-            params, cfg, pix_raw, out_t["high_res_masks"],
+            params, body_cfg, pix_raw, out_t["high_res_masks"],
             out_t["object_score_logits"], training=training,
             apply_non_overlap=cfg.non_overlap_masks_for_mem_enc)
         new_mem = new_mem.reshape(O, HW, cfg.mem_dim).astype(jnp.float32)

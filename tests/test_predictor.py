@@ -1,0 +1,128 @@
+"""VideoPredictor unit tests: eval-time memory-slot selection parity with the
+reference's r-stride rules (sam2_base.py:549-675), pointer past-only
+selection, and a small end-to-end propagate on synthetic frames."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sam2_video_tpu.eval.predictor import InferenceState, VideoPredictor
+from sam2_video_tpu.models import sam2 as sam2_mod
+from sam2_video_tpu.models.sam2 import SAM2Config
+
+
+@pytest.fixture(scope="module")
+def pred():
+    cfg = SAM2Config(image_size=128, compute_dtype="float32",
+                     use_activation_checkpoint=False)
+    params = sam2_mod.init(jax.random.PRNGKey(0), cfg)
+    return VideoPredictor(params, cfg, max_objects=2)
+
+
+def _fake_bank(pred, frames, T):
+    """mem_bank whose entries are tagged by frame index for identification."""
+    cfg = pred.cfg
+    O, HW = pred.max_objects, cfg.num_spatial_tokens
+    bank = {}
+    for t in frames:
+        mem = jnp.full((O, HW, cfg.mem_dim), float(t + 1), jnp.float32)
+        ptr = np.full((O, cfg.d_model), float(t + 1), np.float32)
+        bank[t] = (mem, ptr)
+    return bank
+
+
+def _slot_frames(pred, state, bank, cond_mem, cond_ptr, frame_idx, cond_f,
+                 reverse=False):
+    sm, sv, tpos, ptrs, pv, pt, tdm = pred._assemble_memory(
+        state, bank, cond_mem, cond_ptr, frame_idx, cond_f, reverse)
+    sm = np.asarray(sm)[:, 0, 0, 0]  # tag per slot
+    sv = np.asarray(sv)
+    return sm, sv, np.asarray(tpos), np.asarray(ptrs)[:, 0, 0], np.asarray(pv), np.asarray(pt), tdm
+
+
+def test_memory_slot_selection_forward(pred):
+    cfg = pred.cfg
+    T = 20
+    state = InferenceState(num_frames=T, orig_hw=(64, 64), feats=None,
+                           prompts={}, obj_order=["a"], cond_frame_idx=0)
+    bank = _fake_bank(pred, range(1, 12), T)
+    O, HW = pred.max_objects, cfg.num_spatial_tokens
+    cond_mem = jnp.full((O, HW, cfg.mem_dim), 100.0)
+    cond_ptr = np.full((O, cfg.d_model), 100.0, np.float32)
+
+    sm, sv, tpos, ptag, pv, pt, tdm = _slot_frames(
+        pred, state, bank, cond_mem, cond_ptr, frame_idx=11, cond_f=0)
+    # slot 0 = cond; slots for t_pos 1..6 (r=1): frames 5,6,7,8,9,10
+    assert sm[0] == 100.0 and sv[0]
+    np.testing.assert_array_equal(sm[1:], [6, 7, 8, 9, 10, 11])  # tag=t+1
+    assert sv.all()
+    # tpos embedding indices: cond -> M-1; t_pos k -> M-k-1
+    np.testing.assert_array_equal(tpos, [6, 5, 4, 3, 2, 1, 0])
+    # pointers: cond (tag 100) + past frames 10,9,...,1 (10 entries)
+    assert ptag[0] == 100.0 and pv[0]
+    np.testing.assert_array_equal(ptag[1:11], np.arange(10, 0, -1) + 1)
+    assert pt[0] == 11.0  # signed distance to cond frame
+    np.testing.assert_array_equal(pt[1:11], np.arange(1, 11))
+    assert not pv[11:].any()
+    assert tdm == min(T, cfg.max_obj_ptrs_in_encoder) - 1
+
+
+def test_memory_slot_selection_early_frames_invalid(pred):
+    cfg = pred.cfg
+    state = InferenceState(num_frames=10, orig_hw=(64, 64), feats=None,
+                           prompts={}, obj_order=["a"], cond_frame_idx=0)
+    bank = _fake_bank(pred, [1], 10)
+    O, HW = pred.max_objects, cfg.num_spatial_tokens
+    cond_mem = jnp.full((O, HW, cfg.mem_dim), 100.0)
+    cond_ptr = np.zeros((O, cfg.d_model), np.float32)
+    sm, sv, *_ = _slot_frames(pred, state, bank, cond_mem, cond_ptr,
+                              frame_idx=2, cond_f=0)
+    # only the last-frame slot (frame 1) is valid among non-cond slots
+    assert sv[0] and sv[-1]
+    assert not sv[1:-1].any()
+    assert sm[-1] == 2.0  # frame 1 tag
+
+
+def test_memory_slot_selection_reverse(pred):
+    cfg = pred.cfg
+    state = InferenceState(num_frames=20, orig_hw=(64, 64), feats=None,
+                           prompts={}, obj_order=["a"], cond_frame_idx=15)
+    bank = _fake_bank(pred, range(6, 20), 20)
+    O, HW = pred.max_objects, cfg.num_spatial_tokens
+    cond_mem = jnp.full((O, HW, cfg.mem_dim), 100.0)
+    cond_ptr = np.full((O, cfg.d_model), 100.0, np.float32)
+    sm, sv, tpos, ptag, pv, pt, tdm = _slot_frames(
+        pred, state, bank, cond_mem, cond_ptr, frame_idx=8, cond_f=15,
+        reverse=True)
+    # reverse, slots in t_pos order 1..6: frames 14,13,12,11,10 then the
+    # immediately-next frame 9 (t_rel==1 takes frame_idx+1); tags are t+1
+    np.testing.assert_array_equal(sm[1:], [15, 14, 13, 12, 11, 10])
+    # cond pointer included (cond_f >= frame_idx in reverse)
+    assert pv[0] and ptag[0] == 100.0
+    assert pt[0] == (8 - 15) * -1.0  # signed with reverse multiplier
+
+
+def test_end_to_end_propagate_bidirectional(pred, rng):
+    T, H, W = 5, 96, 128
+    frames = (rng.random((T, H, W, 3)) * 255).astype(np.uint8)
+    state = pred.init_state(frames)
+    assert state.num_frames == T
+    mask = np.zeros((H, W), np.uint8)
+    mask[30:60, 40:80] = 1
+    pred.add_new_mask(state, 2, obj_id=7, mask=mask)
+    pred.add_new_points_or_box(state, 2, obj_id=13,
+                               points=[[100, 20]], labels=[1])
+    seen = {}
+    for fi, ids, m, probs, score in pred.propagate_in_video(state,
+                                                            reverse=True):
+        assert ids == [7, 13]
+        assert m.shape == (2, 1, H, W)
+        seen[fi] = True
+    assert sorted(seen) == [0, 1, 2]
+    for fi, ids, m, probs, score in pred.propagate_in_video(state):
+        seen[fi] = True
+        assert probs.dtype == np.float16 or probs.dtype == np.dtype("bfloat16")
+        assert 0.0 <= score[0] <= 1.0
+    assert sorted(seen) == list(range(T))
