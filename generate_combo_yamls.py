@@ -78,11 +78,60 @@ def generate(datasets=DATASETS):
     print(f"wrote {count} combo configs under {OUT_ROOT}")
 
 
+def infer_from_path(path: str):
+    """'.../cholecseg8k_point_pe/cholecseg8k_point_pe_10.torch' ->
+    (dataset, prompt_type, suffix) (reference :50-80)."""
+    parent = Path(path).parent.name
+    tokens = parent.split("_")
+    dataset = tokens[0] if tokens else "unknown"
+    prompt = {"point": "point", "bbox": "box", "box": "box",
+              "mask": "mask"}.get(tokens[1] if len(tokens) > 1 else "point",
+                                  "point")
+    suffix = tokens[2] if len(tokens) > 2 else ""
+    if suffix not in ("pe", "all"):
+        suffix = ""
+    return dataset, prompt, suffix
+
+
+def generate_from_eval_list(eval_list_path: str):
+    """Finetuned-checkpoint combo variants (reference :82-162):
+    <n>_mem (memory modules), <n>_sfx (decoder[/+pe]), <n>_mem_sfx (union)."""
+    lines = Path(eval_list_path).read_text().splitlines()
+    paths = [l[1:].strip() for l in lines
+             if l.strip().startswith("-") and l[1:].strip()]
+    count = 0
+    for idx, ckpt in enumerate(paths, start=1):
+        dataset, prompt, suffix = infer_from_path(ckpt)
+        sfx_modules = ["mask_decoder"]
+        if suffix in ("pe", "all"):
+            sfx_modules.append("prompt_encoder")
+        mem_modules = ["memory_encoder", "memory_attention"]
+        variants = {
+            f"{idx}_mem": mem_modules,
+            f"{idx}_sfx": sfx_modules,
+            f"{idx}_mem_sfx": mem_modules + sfx_modules,
+        }
+        out_dir = OUT_ROOT / dataset
+        out_dir.mkdir(parents=True, exist_ok=True)
+        for name, modules in variants.items():
+            set_name = name.split("_", 1)[1]
+            (out_dir / f"{name}.yaml").write_text(
+                combo_doc(dataset, prompt, set_name, modules,
+                          finetuned=ckpt))
+            count += 1
+    print(f"wrote {count} finetuned combo variants from {eval_list_path}")
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--datasets", nargs="*", default=DATASETS)
+    ap.add_argument("--eval-list", default=None,
+                    help="eval_list.md of checkpoint paths -> finetuned "
+                         "combo variants (<n>_mem / <n>_sfx / <n>_mem_sfx)")
     args = ap.parse_args()
     generate(args.datasets)
+    if args.eval_list:
+        generate_from_eval_list(args.eval_list)
 
 
 if __name__ == "__main__":

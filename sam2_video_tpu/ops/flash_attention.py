@@ -259,7 +259,9 @@ def flash_attention(q, k, v, key_bias=None):
     Lk = k.shape[-2]
     Dv = v.shape[-1]
     on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-    block_q = _pick_block(Lq, 512, 64)
+    # large q blocks: K/V are re-streamed once per (batch, q-block) program,
+    # so fewer q blocks = less VMEM traffic (Lq=576 fits in one block)
+    block_q = _pick_block(Lq, 1024, 64)
     block_k = _pick_block(Lk, 1024, 128)
     ok = (on_tpu and block_q is not None and block_k is not None
           and D % 128 == 0 and Dv % 128 == 0)
