@@ -76,8 +76,8 @@ def main():
             comps.append(np.concatenate(
                 [overlay_masks(base, gtm), overlay_masks(base, dtm)], axis=1))
         if comps:
-            imageio.mimsave(out_dir / f"{str(vid).strip('_')}.gif",
-                            comps, format="GIF", fps=args.fps)
+            imageio.mimsave(out_dir / f"{str(vid).strip('_')}.gif", comps,
+                            format="GIF", duration=int(1000 / max(args.fps, 1)))
             print(f"{vid}: {len(comps)} frames -> gif")
 
 

@@ -51,7 +51,7 @@ class Checkpointer:
 
     def __init__(self, directory: str | Path, save_top_k: int = 3,
                  mode: str = "min"):
-        self.dir = Path(directory)
+        self.dir = Path(directory).resolve()  # orbax requires absolute paths
         self.dir.mkdir(parents=True, exist_ok=True)
         self.save_top_k = save_top_k
         self.mode = mode

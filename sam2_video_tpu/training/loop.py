@@ -131,10 +131,12 @@ def fit(state: TrainState, train_step, eval_step, train_loader, val_loader,
         max_epochs: int, mesh=None, limit_train_batches: int | None = None,
         limit_val_batches: int | None = None, log_every: int = 20,
         logger=None, checkpointer=None, val_check_interval: float = 1.0,
-        step_timer: list | None = None) -> FitResult:
+        step_timer: list | None = None, viz_fn=None,
+        viz_every_n_steps: int = 0, start_epoch: int = 0) -> FitResult:
     """Minimal deterministic fit loop: per-epoch train + val, metric logging,
     best-checkpoint tracking (monitor val/total_loss like the reference's
-    ModelCheckpoint, configs/config.yaml:127-134)."""
+    ModelCheckpoint, configs/config.yaml:127-134), optional GIF-viz hook
+    (trainer.py:205-252 parity) and epoch-resume via ``start_epoch``."""
     history = []
     best_val = float("inf")
 
@@ -172,7 +174,7 @@ def fit(state: TrainState, train_step, eval_step, train_loader, val_loader,
             checkpointer.save(state, metric=vloss, epoch=epoch)
         best_val = min(best_val, vloss)
 
-    for epoch in range(max_epochs):
+    for epoch in range(start_epoch, max_epochs):
         nb = len(train_loader)
         if limit_train_batches is not None:
             nb = min(nb, limit_train_batches)
@@ -182,14 +184,19 @@ def fit(state: TrainState, train_step, eval_step, train_loader, val_loader,
         for bi, batch in enumerate(train_loader):
             if limit_train_batches is not None and bi >= limit_train_batches:
                 break
+            batch = put(batch)
             t0 = time.perf_counter()
-            state, metrics = train_step(state, put(batch))
+            state, metrics = train_step(state, batch)
             if step_timer is not None:
-                jax.block_until_ready(metrics[CORE_LOSS_KEY])
+                jax.device_get(metrics[CORE_LOSS_KEY])
                 step_timer.append(time.perf_counter() - t0)
-            if int(state.step) % max(log_every, 1) == 0:
-                log("train", int(state.step),
+            step_i = int(state.step)
+            if step_i % max(log_every, 1) == 0:
+                log("train", step_i,
                     {f"train/{k}": v for k, v in metrics.items()})
+            if (viz_fn is not None and viz_every_n_steps > 0
+                    and step_i % viz_every_n_steps == 0):
+                viz_fn(state.params, batch, step_i)
             if val_every and (bi + 1) % val_every == 0:
                 run_val(epoch)
         if not val_every:

@@ -94,5 +94,6 @@ def create_visualization_gif(frames, gt_masks, pred_logits, point_coords=None,
     out = np.stack(comps)
     if path is not None:
         import imageio
-        imageio.mimsave(path, list(out), format="GIF", fps=fps)
+        imageio.mimsave(path, list(out), format="GIF",
+                        duration=int(1000 / max(fps, 1)))
     return out

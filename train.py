@@ -151,6 +151,43 @@ def main(argv=None):
                                     save_top_k=int(
                                         cfg.trainer.get("save_top_k", 3)))
 
+    # resume from a previous run's checkpoint dir (params+opt state+step)
+    resume_path = cfg.trainer.get("resume_from")
+    if resume_path:
+        restored = Checkpointer(Path(resume_path)).restore()
+        state = TrainState(params=restored["params"],
+                           opt_state=restored["opt_state"],
+                           step=jax.numpy.asarray(restored["step"]))
+        if mesh is not None:
+            state = mesh_mod.replicate(mesh, state)
+        log.info(f"resumed from {resume_path} at step {int(state.step)}")
+
+    # GIF visualization hook (reference trainer.py:205-252)
+    viz_fn = None
+    viz_every = 0
+    if bool(cfg.visualization.get("enabled", False)):
+        from sam2_video_tpu.models.video_model import forward_train
+        from sam2_video_tpu.utils.viz import create_visualization_gif
+        viz_every = int(cfg.visualization.get("train_every_n_steps", 0))
+        viz_dir = run_dir / "viz"
+        viz_dir.mkdir(exist_ok=True)
+        max_len = int(cfg.visualization.get("max_length", 4))
+        viz_stride = int(cfg.visualization.get("stride", 1))
+
+        vfwd = jax.jit(lambda p, c: forward_train(
+            p, mcfg, c, training=False)[1]["high_res_masks"])
+
+        def viz_fn(params_, batch, step_i):
+            clip0 = batch.clip(0)
+            pred = vfwd(params_, clip0)
+            create_visualization_gif(
+                jax.device_get(clip0.images), jax.device_get(clip0.cat_masks),
+                jax.device_get(pred),
+                point_coords=jax.device_get(clip0.point_coords),
+                point_labels=jax.device_get(clip0.point_labels),
+                max_length=max_len, stride=viz_stride,
+                path=viz_dir / f"step{step_i:06d}.gif")
+
     result = fit(
         state, train_step, eval_step, train_loader, val_loader,
         max_epochs=max_epochs, mesh=mesh,
@@ -158,7 +195,8 @@ def main(argv=None):
         limit_val_batches=cfg.trainer.get("limit_val_batches"),
         log_every=int(cfg.trainer.get("log_every_n_steps", 20)),
         logger=logger, checkpointer=checkpointer,
-        val_check_interval=float(cfg.trainer.get("val_check_interval") or 1.0))
+        val_check_interval=float(cfg.trainer.get("val_check_interval") or 1.0),
+        viz_fn=viz_fn, viz_every_n_steps=viz_every)
     log.info(f"training done; best val loss {result.best_val:.4f}")
     logger.summary({"best_val_loss": result.best_val})
 
