@@ -238,6 +238,12 @@ def main(argv=None):
         if deltas:
             summary.update(deltas)
         logger.summary(summary)
+        # metrics.json under eval dir (reference train.py:219-223)
+        (run_dir / "eval" / "metrics.json").write_text(
+            json.dumps({**summary,
+                        "avg_scores": avg,
+                        "name": cfg.get("combo", {}).get("name")},
+                       indent=2, default=float))
     logger.close()
     return 0
 
