@@ -61,6 +61,7 @@ def setup_file_logging(run_dir: str | Path, level: str = "INFO"):
     run_dir.mkdir(parents=True, exist_ok=True)
     root = logging.getLogger("sam2_video_tpu")
     root.setLevel(getattr(logging, level.upper(), logging.INFO))
+    root.propagate = False  # avoid duplicate lines via the absl root handler
     fmt = logging.Formatter(
         "%(asctime)s | %(levelname)s | %(name)s - %(message)s")
     if not root.handlers:
