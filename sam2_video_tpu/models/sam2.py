@@ -104,6 +104,14 @@ class SAM2Config:
     use_activation_checkpoint: bool = True
     compute_dtype: str = "bfloat16"  # activations dtype for encoder/attention
     use_flash_attention: bool = True  # Pallas kernel for memory cross-attn
+    # dtype of the ring-buffer memory bank carried through the scan. The
+    # reference effectively stores memories in fp16 under autocast; bf16
+    # halves carry bandwidth with the same exponent range.
+    memory_bank_dtype: str = "float32"
+
+    def bank_dtype(self):
+        return (jnp.bfloat16 if self.memory_bank_dtype == "bfloat16"
+                else jnp.float32)
     # Reference parity: the simplified trainer detaches every memory-bank
     # entry (sam2model.py:345-358), truncating BPTT at frame boundaries —
     # which also means the memory *encoder* receives no gradient there.

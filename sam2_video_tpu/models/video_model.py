@@ -98,9 +98,10 @@ def forward_train(params, mcfg: VideoModelConfig, clip: VideoClip,
         apply_non_overlap=cfg.non_overlap_masks_for_mem_enc)
     detach = (jax.lax.stop_gradient if cfg.detach_memory_bank
               else (lambda x: x))
-    cond_mem = detach(cond_mem.reshape(O, HW, cfg.mem_dim).astype(jnp.float32))
+    bank_dt = cfg.bank_dtype()
+    cond_mem = detach(cond_mem.reshape(O, HW, cfg.mem_dim).astype(bank_dt))
     mem_pos = mem_pos_grid.reshape(HW, cfg.mem_dim)
-    cond_ptr = detach(out0["obj_ptr"])  # [O, C]
+    cond_ptr = detach(out0["obj_ptr"].astype(bank_dt))  # [O, C]
 
     if T == 1:
         per_obj = jax.tree.map(lambda x: x[None], _loss_outputs(out0))
@@ -157,18 +158,19 @@ def forward_train(params, mcfg: VideoModelConfig, clip: VideoClip,
             params, body_cfg, pix_raw, out_t["high_res_masks"],
             out_t["object_score_logits"], training=training,
             apply_non_overlap=cfg.non_overlap_masks_for_mem_enc)
-        new_mem = new_mem.reshape(O, HW, cfg.mem_dim).astype(jnp.float32)
+        new_mem = new_mem.reshape(O, HW, cfg.mem_dim).astype(bank_dt)
 
         # push into the ring buffers; stop_gradient == reference .detach()
         noncond_mem = detach(
             jnp.concatenate([new_mem[None], noncond_mem[:-1]], axis=0))
         if Pn > 0:
             noncond_ptr = detach(jnp.concatenate(
-                [out_t["obj_ptr"][None], noncond_ptr[:-1]], axis=0))
+                [out_t["obj_ptr"].astype(bank_dt)[None], noncond_ptr[:-1]],
+                axis=0))
         return (noncond_mem, noncond_ptr), _loss_outputs(out_t)
 
-    carry0 = (jnp.zeros((R, O, HW, cfg.mem_dim), jnp.float32),
-              jnp.zeros((Pn, O, C), jnp.float32))
+    carry0 = (jnp.zeros((R, O, HW, cfg.mem_dim), bank_dt),
+              jnp.zeros((Pn, O, C), bank_dt))
     xs = (jnp.arange(1, T), s16[1:], s0[1:], s1[1:])
     if cfg.use_activation_checkpoint and training:
         body = jax.checkpoint(body)
