@@ -5,7 +5,6 @@ toolchain or prebuilt library is unavailable."""
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 from pathlib import Path
 

@@ -31,7 +31,6 @@ from ..data.coco import IMAGENET_MEAN, IMAGENET_STD
 from ..models import sam2 as sam2_mod
 from ..models.sam2 import SAM2Config
 from ..ops.resize import resize_bilinear
-from .utils import PromptObj
 
 
 @dataclasses.dataclass

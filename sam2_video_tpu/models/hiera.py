@@ -12,7 +12,6 @@ pretrained checkpoint converts by path rename (+ conv layout transpose).
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

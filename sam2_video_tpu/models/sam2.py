@@ -35,7 +35,6 @@ Parameter tree paths mirror the torch checkpoint exactly (``image_encoder.*``,
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any
 
 import jax

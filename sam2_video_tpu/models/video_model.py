@@ -11,7 +11,6 @@ module is fully jittable with static shapes.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -28,13 +28,11 @@ from __future__ import annotations
 
 import argparse
 from pathlib import Path
-from typing import Any
 
 import jax
 import numpy as np
 
 from ..models import sam2 as sam2_mod
-from ..ops.common import tree_paths
 from .checkpoint import _flatten, _unflatten, save_params_npz
 
 

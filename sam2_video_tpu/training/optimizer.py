@@ -17,7 +17,6 @@ equivalent, reference trainer.py:118-177 + sam2model.py:567-575).
 
 from __future__ import annotations
 
-import math
 from typing import Sequence
 
 import jax
