@@ -15,6 +15,12 @@ Eval frame preprocessing matches the external predictor: squash-resize to
 image_size x image_size (NO aspect-preserving crop — unlike training) and
 ImageNet-normalize; output logits are upsampled back to the original video
 resolution on device.
+
+Scope note: prompts may mix kinds across objects but must share ONE
+conditioning frame per propagation (the reference's clip schedulers always
+produce single-prompt-frame clips, inference.py:657-767; the external
+predictor's multi-cond-frame interactive flow is future work — the fixed
+memory layout already supports extra cond slots via ``tpos_index``).
 """
 
 from __future__ import annotations

@@ -135,6 +135,23 @@ def test_full_bptt_trains_memory_encoder(rng):
     assert np.abs(ge).sum() > 0
 
 
+def test_mask_bypass_reproduces_input_mask(tiny_params, rng):
+    """With use_mask_input_as_output_without_sam, frame-0 logits are exactly
+    mask*20-10 (sam2_base.py:441-444): thresholding at 0 returns the input
+    object mask."""
+    params, cfg = tiny_params
+    mcfg = VideoModelConfig(sam2=cfg, prompt_type="mask")
+    clip = make_clip(rng, cfg, T=2, O=2, C=3)
+    per_obj, _ = forward_train(params, mcfg, clip)
+    m0 = np.asarray(per_obj["high_res_multimasks"][0, :, 0])  # [O, H, W]
+    np.testing.assert_array_equal(m0 > 0, np.asarray(clip.obj_masks) > 0)
+    np.testing.assert_allclose(
+        m0, np.asarray(clip.obj_masks) * 20.0 - 10.0, atol=1e-5)
+    # object-score logits at frame 0: +10 for present objects
+    np.testing.assert_allclose(
+        np.asarray(per_obj["object_score_logits"][0, :, 0]), 10.0, atol=1e-5)
+
+
 def test_memory_fusion_mask_invariance(tiny_params, rng):
     """Invalid memory slots must not influence the output: a clip of T=2 uses
     only the cond slot, so garbage in the ring-buffer initial state (here:
