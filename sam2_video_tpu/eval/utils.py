@@ -100,6 +100,33 @@ def mask_to_points(mask: np.ndarray, num_points: int = 1,
     return np.asarray(pts, np.float32)
 
 
+def select_closest_cond_frames(frame_idx: int, cond_frame_outputs: dict,
+                               max_cond_frame_num: int):
+    """Pick up to ``max_cond_frame_num`` conditioning frames temporally
+    closest to ``frame_idx``: nearest before, nearest at/after, then by
+    absolute distance (reference modeling/sam2_utils.py:19-61). Returns
+    (selected, unselected) dicts."""
+    if max_cond_frame_num == -1 or len(cond_frame_outputs) <= max_cond_frame_num:
+        return dict(cond_frame_outputs), {}
+    assert max_cond_frame_num >= 2, "allow using 2+ conditioning frames"
+    selected = {}
+    before = max((t for t in cond_frame_outputs if t < frame_idx),
+                 default=None)
+    if before is not None:
+        selected[before] = cond_frame_outputs[before]
+    after = min((t for t in cond_frame_outputs if t >= frame_idx),
+                default=None)
+    if after is not None:
+        selected[after] = cond_frame_outputs[after]
+    remaining = sorted((t for t in cond_frame_outputs if t not in selected),
+                       key=lambda x: abs(x - frame_idx))
+    for t in remaining[: max_cond_frame_num - len(selected)]:
+        selected[t] = cond_frame_outputs[t]
+    unselected = {t: v for t, v in cond_frame_outputs.items()
+                  if t not in selected}
+    return selected, unselected
+
+
 def mask_to_bbox(mask: np.ndarray) -> list[float]:
     """[x_min, y_min, x_max, y_max] (the SAM2 box-prompt convention used by
     the reference eval, utils.py:156-165)."""

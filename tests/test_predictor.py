@@ -126,3 +126,18 @@ def test_end_to_end_propagate_bidirectional(pred, rng):
         assert probs.dtype == np.float16 or probs.dtype == np.dtype("bfloat16")
         assert 0.0 <= score[0] <= 1.0
     assert sorted(seen) == list(range(T))
+
+
+def test_select_closest_cond_frames():
+    from sam2_video_tpu.eval.utils import select_closest_cond_frames
+    cond = {0: "a", 5: "b", 10: "c", 20: "d"}
+    sel, unsel = select_closest_cond_frames(7, cond, -1)
+    assert sel == cond and unsel == {}
+    sel, unsel = select_closest_cond_frames(7, cond, 2)
+    assert set(sel) == {5, 10}  # nearest before + nearest at/after
+    assert set(unsel) == {0, 20}
+    sel, _ = select_closest_cond_frames(7, cond, 3)
+    assert set(sel) == {5, 10, 0}  # then by absolute distance
+    # frame before all cond frames: no "before", two nearest after
+    sel, _ = select_closest_cond_frames(-1, cond, 2)
+    assert set(sel) == {0, 5}
