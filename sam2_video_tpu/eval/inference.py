@@ -252,7 +252,9 @@ class InferenceRunner:
 
         def run(reverse):
             for rel_idx, obj_ids, mask, probs, score in \
-                    self.predictor.propagate_in_video(state, reverse=reverse):
+                    self.predictor.propagate_in_video(
+                        state, reverse=reverse,
+                        collect_probs=probs_out_dir is not None):
                 order_key = rel_idx + start
                 self._maybe_write_probs(probs_out_dir, clip_frames[rel_idx],
                                         obj_ids, probs)

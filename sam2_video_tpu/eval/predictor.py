@@ -280,7 +280,8 @@ class VideoPredictor:
         return out, merge(mem_m, mem_p), pos_m
 
     def propagate_in_video(self, state: InferenceState,
-                           reverse: bool = False) -> Iterator[tuple]:
+                           reverse: bool = False,
+                           collect_probs: bool = True) -> Iterator[tuple]:
         """Yields (frame_idx, obj_ids, mask_logits [O_real, 1, h, w] jnp (on
         demand via .logits), mask bool, probs, score) as a simple namespace —
         kept close to the external predictor's (idx, ids, logits) triple: we
@@ -296,8 +297,11 @@ class VideoPredictor:
 
         def emit(frame_idx, logits):
             mask, probs, score = self._to_orig(logits, state.orig_hw)
+            # probs are a large original-resolution fetch; skip unless the
+            # caller dumps probability maps (tunnel transfers dominate eval)
+            probs_np = (np.asarray(probs)[:n_obj] if collect_probs else None)
             return (frame_idx, list(state.obj_order),
-                    np.asarray(mask)[:n_obj], np.asarray(probs)[:n_obj],
+                    np.asarray(mask)[:n_obj], probs_np,
                     np.asarray(score)[:n_obj])
 
         frame_order = ([f] + list(range(f - 1, -1, -1)) if reverse

@@ -4,17 +4,20 @@ stack's hot attention shapes:
 - memory attention cross-attn: Lq = 576 (24x24 feature grid), Lk = 4096
   (7 spatial memory slots x 576 + 16 pointers x 4 tokens) — exactly 8x512
   key blocks;
-- Hiera global-attention blocks (Lq = Lk = H16*W16).
+- larger grids (512px: Lq = 1024) up to Lq <= 2048.
 
-Design (cf. /opt/skills/guides/pallas_guide.md): grid over (batch*heads,
-q blocks); keys/values stream through VMEM in ``block_k`` chunks with the
-online-softmax running (m, l) rescale; optional additive key bias vector
-(the memory-slot validity mask) folded into the logits. f32 accumulation,
-bf16 or f32 I/O. Backward recomputes probabilities blockwise from the saved
-logsumexp (no Lq x Lk materialization anywhere).
+Design (cf. /opt/skills/guides/pallas_guide.md): the whole query block lives
+in VMEM (Lq x D is small for these shapes) and keys/values stream through in
+``block_k`` chunks with the online-softmax running (m, l) rescale; the
+additive key-bias vector (memory-slot validity mask) folds into the logits.
+Grid is (batch*heads,) for forward/dq and (batch*heads, k-blocks) for dk/dv.
+f32 accumulation, bf16 or f32 I/O. Backward recomputes probabilities
+blockwise from the saved logsumexp — no Lq x Lk materialization anywhere.
+All small per-row tensors (lse, delta, bias) are kept 3D with full-size
+trailing blocks to satisfy the Mosaic (8, 128) tiling rules.
 
 Falls back to the XLA path (ops.attention.sdpa) when shapes don't tile or
-when running on CPU — ``attend`` picks automatically.
+when running on CPU — ``flash_attention`` picks automatically.
 """
 
 from __future__ import annotations
@@ -33,16 +36,18 @@ _NEG_INF = -1e30
 # set True in tests to run kernels in interpreter mode on CPU
 INTERPRET = False
 
+MAX_LQ = 2048  # whole-q-block VMEM budget guard
+
 
 # ---------------------------------------------------------------------------
-# Forward kernel
+# Forward kernel: grid (BH,), whole q resident, stream k/v blocks
 # ---------------------------------------------------------------------------
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
                 block_k: int, scale: float):
-    q = q_ref[0].astype(jnp.float32) * scale        # [bq, d]
-    bq = q.shape[0]
+    q = q_ref[0].astype(jnp.float32) * scale        # [Lq, d]
+    Lq = q.shape[0]
     num_kb = k_ref.shape[1] // block_k
 
     def body(i, carry):
@@ -51,7 +56,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
         vb = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        s = s + bias_ref[0, pl.ds(i * block_k, block_k)][None, :]
+        s = s + bias_ref[0, 0, pl.ds(i * block_k, block_k)][None, :]
         m_new = jnp.maximum(m_i, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_i - m_new)
@@ -61,38 +66,36 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
             preferred_element_type=jnp.float32)
         return acc, m_new, l_new
 
-    d = q_ref.shape[-1]
     dv = v_ref.shape[-1]
-    acc0 = jnp.zeros((bq, dv), jnp.float32)
-    m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc0 = jnp.zeros((Lq, dv), jnp.float32)
+    m0 = jnp.full((Lq, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((Lq, 1), jnp.float32)
     acc, m_f, l_f = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
     o_ref[0] = (acc / l_f).astype(o_ref.dtype)
-    lse_ref[0] = (m_f + jnp.log(l_f))[:, 0]
+    lse_ref[0, 0] = (m_f + jnp.log(l_f))[:, 0]
 
 
-def _flash_fwd(q, k, v, bias, block_q: int, block_k: int):
+def _flash_fwd(q, k, v, bias, block_k: int):
     BH, Lq, D = q.shape
     Lk = k.shape[1]
     Dv = v.shape[-1]
     scale = 1.0 / math.sqrt(D)
-    grid = (BH, Lq // block_q)
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, block_k=block_k, scale=scale),
-        grid=grid,
+        grid=(BH,),
         in_specs=[
-            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, Lk, D), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, Lk, Dv), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, Lk), lambda b, i: (b, 0)),
+            pl.BlockSpec((1, Lq, D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, Lk, D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, Lk, Dv), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 1, Lk), lambda b: (b, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_q, Dv), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, block_q), lambda b, i: (b, i)),
+            pl.BlockSpec((1, Lq, Dv), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 1, Lq), lambda b: (b, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((BH, Lq, Dv), q.dtype),
-            jax.ShapeDtypeStruct((BH, Lq), jnp.float32),
+            jax.ShapeDtypeStruct((BH, 1, Lq), jnp.float32),
         ],
         interpret=INTERPRET,
     )(q, k, v, bias)
@@ -105,106 +108,105 @@ def _flash_fwd(q, k, v, bias, block_q: int, block_k: int):
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
-                   dq_ref, *, block_k: int, scale: float):
+                   dq_ref, acc_ref, *, scale: float):
+    """Grid (BH, k-blocks): K/V stream block-by-block through the pipeline;
+    dq accumulates in an f32 VMEM scratch that persists across the
+    (sequential) k-block iterations and is flushed on the last one."""
+    j = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
     q = q_ref[0].astype(jnp.float32) * scale
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0][:, None]
-    delta = delta_ref[0][:, None]
-    num_kb = k_ref.shape[1] // block_k
+    lse = lse_ref[0, 0][:, None]
+    delta = delta_ref[0, 0][:, None]
+    kb = k_ref[0].astype(jnp.float32)
+    vb = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s + bias_ref[0, 0][None, :]
+    p = jnp.exp(s - lse)
+    dp = jax.lax.dot_general(do, vb, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)
+    acc_ref[...] += jax.lax.dot_general(
+        ds, kb, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
-    def body(i, dq_acc):
-        kb = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        vb = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        s = s + bias_ref[0, pl.ds(i * block_k, block_k)][None, :]
-        p = jnp.exp(s - lse)
-        dp = jax.lax.dot_general(do, vb, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)
-        return dq_acc + jax.lax.dot_general(
-            ds, kb, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-
-    dq = jax.lax.fori_loop(
-        0, num_kb, body, jnp.zeros_like(q, jnp.float32))
-    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+    @pl.when(j == nk - 1)
+    def _():
+        dq_ref[0] = (acc_ref[...] * scale).astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
-                    dk_ref, dv_ref, *, block_q: int, scale: float):
+                    dk_ref, dv_ref, *, scale: float):
+    """Grid (BH, k-blocks): the whole q/do block is resident per program."""
     kb = k_ref[0].astype(jnp.float32)           # [bk, d]
     vb = v_ref[0].astype(jnp.float32)
-    bias = bias_ref[0][None, :]                  # [1, bk]
-    num_qb = q_ref.shape[1] // block_q
+    bias = bias_ref[0, 0][None, :]               # [1, bk]
+    q = q_ref[0].astype(jnp.float32) * scale     # [Lq, d]
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, 0][:, None]
+    delta = delta_ref[0, 0][:, None]
 
-    def body(i, carry):
-        dk_acc, dv_acc = carry
-        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32) \
-            * scale
-        do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, pl.ds(i * block_q, block_q)][:, None]
-        delta = delta_ref[0, pl.ds(i * block_q, block_q)][:, None]
-        s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        s = s + bias
-        p = jnp.exp(s - lse)                     # [bq, bk]
-        dv_acc = dv_acc + jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(do, vb, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)
-        dk_acc = dk_acc + jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        return dk_acc, dv_acc
-
-    dk0 = jnp.zeros(kb.shape, jnp.float32)
-    dv0 = jnp.zeros(vb.shape, jnp.float32)
-    dk, dv = jax.lax.fori_loop(0, num_qb, body, (dk0, dv0))
+    s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s + bias
+    p = jnp.exp(s - lse)                         # [Lq, bk]
+    dv = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, vb, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)
+    dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _flash_bwd(block_q, block_k, res, g):
+def _flash_bwd(block_k, res, g):
     q, k, v, bias, out, lse = res
-    do, _ = g
+    do = g
     BH, Lq, D = q.shape
     Lk = k.shape[1]
     Dv = v.shape[-1]
     scale = 1.0 / math.sqrt(D)
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
-                    axis=-1)  # [BH, Lq]
+                    axis=-1)[:, None, :]  # [BH, 1, Lq]
 
+    from jax.experimental.pallas import tpu as pltpu
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, block_k=block_k, scale=scale),
-        grid=(BH, Lq // block_q),
-        in_specs=[
-            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, Lk, D), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, Lk, Dv), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, Lk), lambda b, i: (b, 0)),
-            pl.BlockSpec((1, block_q, Dv), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, block_q), lambda b, i: (b, i)),
-            pl.BlockSpec((1, block_q), lambda b, i: (b, i)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        interpret=INTERPRET,
-    )(q, k, v, bias, do, lse, delta)
-
-    dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, block_q=block_q, scale=scale),
+        functools.partial(_bwd_dq_kernel, scale=scale),
         grid=(BH, Lk // block_k),
         in_specs=[
             pl.BlockSpec((1, Lq, D), lambda b, j: (b, 0, 0)),
             pl.BlockSpec((1, block_k, D), lambda b, j: (b, j, 0)),
             pl.BlockSpec((1, block_k, Dv), lambda b, j: (b, j, 0)),
-            pl.BlockSpec((1, block_k), lambda b, j: (b, j)),
+            pl.BlockSpec((1, 1, block_k), lambda b, j: (b, 0, j)),
             pl.BlockSpec((1, Lq, Dv), lambda b, j: (b, 0, 0)),
-            pl.BlockSpec((1, Lq), lambda b, j: (b, 0)),
-            pl.BlockSpec((1, Lq), lambda b, j: (b, 0)),
+            pl.BlockSpec((1, 1, Lq), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, 1, Lq), lambda b, j: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, Lq, D), lambda b, j: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[pltpu.VMEM((Lq, D), jnp.float32)],
+        interpret=INTERPRET,
+    )(q, k, v, bias, do, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale),
+        grid=(BH, Lk // block_k),
+        in_specs=[
+            pl.BlockSpec((1, Lq, D), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, block_k, D), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, Dv), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda b, j: (b, 0, j)),
+            pl.BlockSpec((1, Lq, Dv), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, 1, Lq), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, 1, Lq), lambda b, j: (b, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, block_k, D), lambda b, j: (b, j, 0)),
@@ -221,19 +223,19 @@ def _flash_bwd(block_q, block_k, res, g):
     return dq, dk, dv, jnp.zeros_like(bias)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _flash_attention_3d(q, k, v, bias, block_q, block_k):
-    out, _ = _flash_fwd(q, k, v, bias, block_q, block_k)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _flash_attention_3d(q, k, v, bias, block_k):
+    out, _ = _flash_fwd(q, k, v, bias, block_k)
     return out
 
 
-def _flash_attention_3d_fwd(q, k, v, bias, block_q, block_k):
-    out, lse = _flash_fwd(q, k, v, bias, block_q, block_k)
+def _flash_attention_3d_fwd(q, k, v, bias, block_k):
+    out, lse = _flash_fwd(q, k, v, bias, block_k)
     return out, (q, k, v, bias, out, lse)
 
 
-def _flash_attention_3d_bwd(block_q, block_k, res, g):
-    return _flash_bwd(block_q, block_k, res, (g, None))
+def _flash_attention_3d_bwd(block_k, res, g):
+    return _flash_bwd(block_k, res, g)
 
 
 _flash_attention_3d.defvjp(_flash_attention_3d_fwd, _flash_attention_3d_bwd)
@@ -258,11 +260,8 @@ def flash_attention(q, k, v, key_bias=None):
     Lk = k.shape[-2]
     Dv = v.shape[-1]
     on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-    # large q blocks: K/V are re-streamed once per (batch, q-block) program,
-    # so fewer q blocks = less VMEM traffic (Lq=576 fits in one block)
-    block_q = _pick_block(Lq, 1024, 64)
     block_k = _pick_block(Lk, 1024, 128)
-    ok = (on_tpu and block_q is not None and block_k is not None
+    ok = (on_tpu and block_k is not None and Lq <= MAX_LQ and Lq % 8 == 0
           and D % 128 == 0 and Dv % 128 == 0)
     if not ok:
         bias = None
@@ -280,9 +279,9 @@ def flash_attention(q, k, v, key_bias=None):
     k3 = k.reshape(BH, Lk, D)
     v3 = v.reshape(BH, Lk, Dv)
     if key_bias is None:
-        bias3 = jnp.zeros((BH, Lk), jnp.float32)
+        bias3 = jnp.zeros((BH, 1, Lk), jnp.float32)
     else:
         bias3 = jnp.broadcast_to(key_bias.astype(jnp.float32),
-                                 tuple(lead) + (Lk,)).reshape(BH, Lk)
-    out = _flash_attention_3d(q3, k3, v3, bias3, block_q, block_k)
+                                 tuple(lead) + (Lk,)).reshape(BH, 1, Lk)
+    out = _flash_attention_3d(q3, k3, v3, bias3, block_k)
     return out.reshape(*lead, Lq, Dv)

@@ -27,27 +27,27 @@ def _case(rng, BH=2, Lq=128, Lk=256, D=128, Dv=128):
 
 def test_forward_matches_sdpa(rng):
     q, k, v = _case(rng)
-    bias = jnp.zeros((2, k.shape[1]), jnp.float32)
-    got = fa._flash_attention_3d(q, k, v, bias, 64, 128)
+    bias = jnp.zeros((2, 1, k.shape[1]), jnp.float32)
+    got = fa._flash_attention_3d(q, k, v, bias, 128)
     want = sdpa(q[:, None], k[:, None], v[:, None])[:, 0]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
 def test_forward_with_key_bias_masking(rng):
     q, k, v = _case(rng, Lk=256)
-    bias = np.zeros((2, 256), np.float32)
-    bias[:, 128:] = -1e9
-    got = fa._flash_attention_3d(q, k, v, jnp.asarray(bias), 64, 128)
+    bias = np.zeros((2, 1, 256), np.float32)
+    bias[:, :, 128:] = -1e9
+    got = fa._flash_attention_3d(q, k, v, jnp.asarray(bias), 128)
     want = sdpa(q[:, None], k[:, :128][:, None], v[:, :128][:, None])[:, 0]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
 def test_gradients_match_sdpa(rng):
     q, k, v = _case(rng, BH=1, Lq=64, Lk=128)
-    bias = jnp.zeros((1, 128), jnp.float32)
+    bias = jnp.zeros((1, 1, 128), jnp.float32)
 
     def f_flash(q, k, v):
-        return jnp.sum(jnp.sin(fa._flash_attention_3d(q, k, v, bias, 64, 128)))
+        return jnp.sum(jnp.sin(fa._flash_attention_3d(q, k, v, bias, 128)))
 
     def f_ref(q, k, v):
         return jnp.sum(jnp.sin(sdpa(q[:, None], k[:, None], v[:, None])[:, 0]))
@@ -61,15 +61,15 @@ def test_gradients_match_sdpa(rng):
 
 def test_gradients_with_bias_masking(rng):
     q, k, v = _case(rng, BH=1, Lq=64, Lk=256)
-    bias_np = np.zeros((1, 256), np.float32)
-    bias_np[:, 192:] = -1e9
+    bias_np = np.zeros((1, 1, 256), np.float32)
+    bias_np[:, :, 192:] = -1e9
     bias = jnp.asarray(bias_np)
 
     def f_flash(q, k, v):
-        return jnp.sum(fa._flash_attention_3d(q, k, v, bias, 64, 128) ** 2)
+        return jnp.sum(fa._flash_attention_3d(q, k, v, bias, 128) ** 2)
 
     def f_ref(q, k, v):
-        full_bias = jnp.broadcast_to(bias[:, None, None, :], (1, 1, 64, 256))
+        full_bias = jnp.broadcast_to(bias[:, None, :, :], (1, 1, 64, 256))
         return jnp.sum(sdpa(q[:, None], k[:, None], v[:, None],
                             full_bias)[:, 0] ** 2)
 
