@@ -249,15 +249,19 @@ class InferenceRunner:
                                                 obj.mask)
 
         video_segments = {}
+        from .predictor import logits_to_orig
 
         def run(reverse):
-            for rel_idx, obj_ids, mask, probs, score in \
-                    self.predictor.propagate_in_video(
-                        state, reverse=reverse,
-                        collect_probs=probs_out_dir is not None):
+            for rel_idx, obj_ids, logits, score in \
+                    self.predictor.propagate_in_video(state, reverse=reverse):
                 order_key = rel_idx + start
-                self._maybe_write_probs(probs_out_dir, clip_frames[rel_idx],
-                                        obj_ids, probs)
+                want_probs = probs_out_dir is not None
+                mask, probs = logits_to_orig(logits, state.orig_hw,
+                                             want_probs=want_probs)
+                if want_probs:
+                    self._maybe_write_probs(probs_out_dir,
+                                            clip_frames[rel_idx], obj_ids,
+                                            probs)
                 video_segments[order_key] = {
                     oid: {"mask": mask[i], "score": float(score[i])}
                     for i, oid in enumerate(obj_ids)}

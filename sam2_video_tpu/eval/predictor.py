@@ -39,6 +39,45 @@ from ..models.sam2 import SAM2Config
 from ..ops.resize import resize_bilinear
 
 
+try:
+    import cv2 as _cv2
+except Exception:  # pragma: no cover
+    _cv2 = None
+
+
+def _resize_frame(frame: np.ndarray, size: int) -> np.ndarray:
+    """Squash-resize one RGB uint8 frame to size x size (bilinear)."""
+    if _cv2 is not None:
+        return _cv2.resize(frame, (size, size),
+                           interpolation=_cv2.INTER_LINEAR)
+    from PIL import Image
+    return np.asarray(Image.fromarray(frame).resize((size, size),
+                                                    Image.BILINEAR))
+
+
+def logits_to_orig(logits: np.ndarray, orig_hw, want_probs: bool = False):
+    """Host-side original-resolution reconstruction from model-resolution
+    logits [n, 1, S, S]: bilinear upsample then threshold at 0 (the external
+    predictor's semantics). Returns (mask bool [n, 1, h, w], probs f16 or
+    None)."""
+    h, w = orig_hw
+    n = logits.shape[0]
+    masks = np.empty((n, 1, h, w), bool)
+    probs = np.empty((n, 1, h, w), np.float16) if want_probs else None
+    for i in range(n):
+        lg = np.asarray(logits[i, 0], np.float32)
+        if _cv2 is not None:
+            up = _cv2.resize(lg, (w, h), interpolation=_cv2.INTER_LINEAR)
+        else:
+            from PIL import Image
+            up = np.asarray(Image.fromarray(lg).resize((w, h),
+                                                       Image.BILINEAR))
+        masks[i, 0] = up > 0.0
+        if want_probs:
+            probs[i, 0] = (1.0 / (1.0 + np.exp(-up))).astype(np.float16)
+    return masks, probs
+
+
 @dataclasses.dataclass
 class InferenceState:
     num_frames: int
@@ -70,12 +109,10 @@ class VideoPredictor:
 
         @jax.jit
         def encode(params, images_u8):
-            """images_u8: [B, H, W, 3] uint8 original res -> squash-resized
-            normalized features."""
+            """images_u8: [B, S, S, 3] uint8 (host pre-resized — uploading
+            original-res frames through the TPU tunnel dominated eval time)
+            -> normalized backbone features."""
             x = images_u8.astype(jnp.float32) / 255.0
-            x = jnp.moveaxis(x, -1, 1)                        # [B,3,H,W]
-            x = resize_bilinear(x, (S, S))
-            x = jnp.moveaxis(x, 1, -1)
             x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
             out = sam2_mod.forward_image(params, cfg, x)
             return tuple(out["backbone_fpn"])
@@ -158,30 +195,36 @@ class VideoPredictor:
             return out, mem.reshape(O, HW, cfg.mem_dim)
 
         @partial(jax.jit, static_argnums=(1,))
-        def to_orig(logits, orig_hw):
-            """[O, 1, S, S] logits -> (mask bool [O, 1, h, w],
-            probs f16, score [O])."""
+        def score_and_pack(logits, orig_hw):
+            """[O, 1, S, S] logits -> (low-res f16 logits for the cheap
+            device->host fetch, exact-parity score = mean sigmoid over the
+            original-resolution upsample computed on device)."""
             up = resize_bilinear(logits, orig_hw)
-            probs = jax.nn.sigmoid(up)
-            return up > 0.0, probs.astype(jnp.bfloat16), jnp.mean(
-                probs, axis=(1, 2, 3))
+            score = jnp.mean(jax.nn.sigmoid(up), axis=(1, 2, 3))
+            return logits.astype(jnp.float16), score
 
         self._encode = encode
         self._prompt_step = prompt_step
         self._mask_prompt_step = mask_prompt_step
         self._track_step = track_step
-        self._to_orig = to_orig
+        self._score_and_pack = score_and_pack
         self._curr_pos = _posenc()
         self._layout = layout
 
     # -- public API ---------------------------------------------------------
 
     def init_state(self, frames: np.ndarray) -> InferenceState:
-        """frames: [T, H, W, 3] uint8 at original video resolution."""
+        """frames: [T, H, W, 3] uint8 at original video resolution. Frames
+        are squash-resized to the model size on host (cv2/PIL) so only
+        T x S x S x 3 bytes cross the host->device link."""
         T, H, W, _ = frames.shape
+        S = self.cfg.image_size
+        small = np.empty((T, S, S, 3), np.uint8)
+        for i in range(T):
+            small[i] = _resize_frame(frames[i], S)
         chunks = []
         for i in range(0, T, self.encode_chunk):
-            chunk = frames[i: i + self.encode_chunk]
+            chunk = small[i: i + self.encode_chunk]
             chunks.append(self._encode(self.params, jnp.asarray(chunk)))
         feats = tuple(jnp.concatenate([c[j] for c in chunks], axis=0)
                       for j in range(3))
@@ -280,12 +323,12 @@ class VideoPredictor:
         return out, merge(mem_m, mem_p), pos_m
 
     def propagate_in_video(self, state: InferenceState,
-                           reverse: bool = False,
-                           collect_probs: bool = True) -> Iterator[tuple]:
-        """Yields (frame_idx, obj_ids, mask_logits [O_real, 1, h, w] jnp (on
-        demand via .logits), mask bool, probs, score) as a simple namespace —
-        kept close to the external predictor's (idx, ids, logits) triple: we
-        yield (frame_idx, obj_ids, mask [O,1,h,w] bool, probs f16, score)."""
+                           reverse: bool = False) -> Iterator[tuple]:
+        """Yields (frame_idx, obj_ids, logits [n_obj, 1, S, S] f16 numpy,
+        score [n_obj]). Only model-resolution logits cross the device->host
+        link; use ``logits_to_orig`` to get original-resolution masks/probs
+        on host (the external predictor returns orig-res logits — same
+        information, resampled host-side for tunnel-bandwidth reasons)."""
         cfg = self.cfg
         f = state.cond_frame_idx
         T = state.num_frames
@@ -296,13 +339,9 @@ class VideoPredictor:
         cond_ptr = out["obj_ptr"]
 
         def emit(frame_idx, logits):
-            mask, probs, score = self._to_orig(logits, state.orig_hw)
-            # probs are a large original-resolution fetch; skip unless the
-            # caller dumps probability maps (tunnel transfers dominate eval)
-            probs_np = (np.asarray(probs)[:n_obj] if collect_probs else None)
+            packed, score = self._score_and_pack(logits, state.orig_hw)
             return (frame_idx, list(state.obj_order),
-                    np.asarray(mask)[:n_obj], probs_np,
-                    np.asarray(score)[:n_obj])
+                    np.asarray(packed)[:n_obj], np.asarray(score)[:n_obj])
 
         frame_order = ([f] + list(range(f - 1, -1, -1)) if reverse
                        else [f] + list(range(f + 1, T)))

@@ -114,16 +114,21 @@ def test_end_to_end_propagate_bidirectional(pred, rng):
     pred.add_new_mask(state, 2, obj_id=7, mask=mask)
     pred.add_new_points_or_box(state, 2, obj_id=13,
                                points=[[100, 20]], labels=[1])
+    from sam2_video_tpu.eval.predictor import logits_to_orig
+    S = pred.cfg.image_size
     seen = {}
-    for fi, ids, m, probs, score in pred.propagate_in_video(state,
-                                                            reverse=True):
+    for fi, ids, logits, score in pred.propagate_in_video(state,
+                                                          reverse=True):
         assert ids == [7, 13]
-        assert m.shape == (2, 1, H, W)
+        assert logits.shape == (2, 1, S, S)
+        assert logits.dtype == np.float16
+        mask, probs = logits_to_orig(logits, state.orig_hw, want_probs=True)
+        assert mask.shape == (2, 1, H, W)
+        assert probs.dtype == np.float16
         seen[fi] = True
     assert sorted(seen) == [0, 1, 2]
-    for fi, ids, m, probs, score in pred.propagate_in_video(state):
+    for fi, ids, logits, score in pred.propagate_in_video(state):
         seen[fi] = True
-        assert probs.dtype == np.float16 or probs.dtype == np.dtype("bfloat16")
         assert 0.0 <= score[0] <= 1.0
     assert sorted(seen) == list(range(T))
 
