@@ -171,10 +171,13 @@ class VideoPredictor:
             num_ptrs=P if cfg.use_obj_ptrs_in_encoder else 0,
             tokens_per_ptr=cfg.ptr_tokens_per_obj)
 
-        @jax.jit
+        @partial(jax.jit, static_argnums=(11, 12))
         def track_step(params, s0, s1, s16, spatial_mem, spatial_valid,
                        tpos_index, obj_ptrs, ptr_valid, ptr_tpos, t_diff_max,
-                       mem_pos):
+                       orig_hw, n_obj, mem_pos):
+            """One fused device call per tracked frame: memory fusion ->
+            SAM heads -> memory encode -> f16 logit packing + exact-parity
+            score (per-call RTT through the TPU tunnel is significant)."""
             curr = jnp.broadcast_to(
                 s16.reshape(1, HW, C), (O, HW, C))
             fused = sam2_mod.fuse_memory(
@@ -192,16 +195,21 @@ class VideoPredictor:
                 params, cfg, feats, out["high_res_masks"],
                 out["object_score_logits"], training=False,
                 apply_non_overlap=cfg.non_overlap_masks_for_mem_enc)
-            return out, mem.reshape(O, HW, cfg.mem_dim)
+            packed, score = _pack(out["high_res_masks"], orig_hw, n_obj)
+            return (out["obj_ptr"], mem.reshape(O, HW, cfg.mem_dim), packed,
+                    score)
 
-        @partial(jax.jit, static_argnums=(1,))
-        def score_and_pack(logits, orig_hw):
-            """[O, 1, S, S] logits -> (low-res f16 logits for the cheap
-            device->host fetch, exact-parity score = mean sigmoid over the
-            original-resolution upsample computed on device)."""
-            up = resize_bilinear(logits, orig_hw)
+        def _pack(logits, orig_hw, n_obj):
+            """[O, 1, S, S] logits -> (low-res f16 logits sliced to the real
+            objects for the cheap device->host fetch, exact-parity score =
+            mean sigmoid over the original-resolution upsample)."""
+            up = resize_bilinear(logits[:n_obj], orig_hw)
             score = jnp.mean(jax.nn.sigmoid(up), axis=(1, 2, 3))
-            return logits.astype(jnp.float16), score
+            return logits[:n_obj].astype(jnp.float16), score
+
+        @partial(jax.jit, static_argnums=(1, 2))
+        def score_and_pack(logits, orig_hw, n_obj):
+            return _pack(logits, orig_hw, n_obj)
 
         self._encode = encode
         self._prompt_step = prompt_step
@@ -334,29 +342,43 @@ class VideoPredictor:
         T = state.num_frames
         out, cond_mem, mem_pos = self._run_cond_frame(state)
         n_obj = len(state.obj_order)
+        obj_ids = list(state.obj_order)
 
-        mem_bank = {f: (cond_mem, np.asarray(out["obj_ptr"]))}
+        # mem_bank holds DEVICE arrays only — memory assembly for frame t+1
+        # dispatches asynchronously while the host fetches frame t's logits
+        mem_bank = {f: (cond_mem, out["obj_ptr"])}
         cond_ptr = out["obj_ptr"]
-
-        def emit(frame_idx, logits):
-            packed, score = self._score_and_pack(logits, state.orig_hw)
-            return (frame_idx, list(state.obj_order),
-                    np.asarray(packed)[:n_obj], np.asarray(score)[:n_obj])
+        mem_pos_flat = mem_pos.reshape(-1, cfg.mem_dim)
 
         frame_order = ([f] + list(range(f - 1, -1, -1)) if reverse
                        else [f] + list(range(f + 1, T)))
-        for t in frame_order:
+
+        def dispatch(t):
+            """Launch frame t's fused device step; returns device futures."""
             if t == f:
-                yield emit(t, out["high_res_masks"])
-                continue
+                packed, score = self._score_and_pack(
+                    out["high_res_masks"], state.orig_hw, n_obj)
+                return packed, score
             sm, sv, tpos, ptrs, pv, pt, tdm = self._assemble_memory(
                 state, mem_bank, cond_mem, cond_ptr, t, f, reverse)
             s0, s1, s16 = (x[t] for x in state.feats)
-            out_t, new_mem = self._track_step(
+            obj_ptr, new_mem, packed, score = self._track_step(
                 self.params, s0, s1, s16, sm, sv, tpos, ptrs, pv, pt,
-                jnp.float32(tdm), mem_pos.reshape(-1, cfg.mem_dim))
-            mem_bank[t] = (new_mem, np.asarray(out_t["obj_ptr"]))
-            yield emit(t, out_t["high_res_masks"])
+                jnp.float32(tdm), state.orig_hw, n_obj, mem_pos_flat)
+            mem_bank[t] = (new_mem, obj_ptr)
+            return packed, score
+
+        # software pipeline: frame t+1 computes on device while the host
+        # converts/fetches frame t (per-call tunnel RTT dominates otherwise)
+        pending = None
+        for t in frame_order:
+            fut = (t, dispatch(t))
+            if pending is not None:
+                pt_, (pk, sc) = pending
+                yield (pt_, obj_ids, np.asarray(pk), np.asarray(sc))
+            pending = fut
+        pt_, (pk, sc) = pending
+        yield (pt_, obj_ids, np.asarray(pk), np.asarray(sc))
 
     def _assemble_memory(self, state, mem_bank, cond_mem, cond_ptr,
                          frame_idx, cond_f, reverse):
@@ -397,7 +419,10 @@ class VideoPredictor:
         tpos_idx = jnp.asarray(tpos_index, jnp.int32)
 
         P = self._layout.num_ptrs
-        ptrs = np.zeros((P, O, cfg.d_model), np.float32)
+        # pointer slots stay DEVICE arrays (stacked, never synced to host —
+        # keeps the dispatch pipeline fully asynchronous)
+        zero_ptr = jnp.zeros((O, cfg.d_model), jnp.float32)
+        ptr_rows = [zero_ptr] * P
         pvalid = np.zeros((P,), bool)
         ptpos = np.zeros((P,), np.float32)
         if P > 0:
@@ -409,7 +434,7 @@ class VideoPredictor:
                             else cond_f <= frame_idx) or \
                 not cfg.only_obj_ptrs_in_the_past_for_eval
             if include_cond:
-                ptrs[idx] = cond_ptr
+                ptr_rows[idx] = jnp.asarray(cond_ptr, jnp.float32)
                 pvalid[idx] = True
                 ptpos[idx] = ((frame_idx - cond_f) * sign
                               if cfg.use_signed_tpos_enc_to_obj_ptrs
@@ -421,12 +446,14 @@ class VideoPredictor:
                     break
                 entry = mem_bank.get(t)
                 if entry is not None and t != cond_f and idx < P:
-                    ptrs[idx] = entry[1]
+                    ptr_rows[idx] = jnp.asarray(entry[1], jnp.float32)
                     pvalid[idx] = True
                     ptpos[idx] = t_diff
                     idx += 1
             t_diff_max = max(max_ptrs - 1, 1)
         else:
             t_diff_max = 1
-        return (spatial_mem, spatial_valid, tpos_idx, jnp.asarray(ptrs),
+        ptrs = (jnp.stack(ptr_rows, axis=0) if P > 0
+                else jnp.zeros((0, O, cfg.d_model), jnp.float32))
+        return (spatial_mem, spatial_valid, tpos_idx, ptrs,
                 jnp.asarray(pvalid), jnp.asarray(ptpos), t_diff_max)
