@@ -95,6 +95,7 @@ class VideoPredictor:
         self.cfg = cfg
         self.max_objects = max_objects
         self.encode_chunk = encode_chunk
+        self._const_cache: dict = {}
         self._build_jitted()
 
     # -- jitted device functions (compiled once, reused across videos) ------
@@ -239,6 +240,17 @@ class VideoPredictor:
         return InferenceState(num_frames=T, orig_hw=(H, W), feats=feats,
                               prompts={}, obj_order=[])
 
+    def _dev_const(self, arr: np.ndarray):
+        """Device-cache small constant arrays (validity masks, tpos vectors)
+        by value — each fresh upload costs a full tunnel round trip and the
+        same patterns repeat every frame after warmup."""
+        key = (arr.dtype.str, arr.shape, arr.tobytes())
+        out = self._const_cache.get(key)
+        if out is None:
+            out = jnp.asarray(arr)
+            self._const_cache[key] = out
+        return out
+
     def _scale_points(self, points, orig_hw):
         h, w = orig_hw
         s = self.cfg.image_size
@@ -364,7 +376,8 @@ class VideoPredictor:
             s0, s1, s16 = (x[t] for x in state.feats)
             obj_ptr, new_mem, packed, score = self._track_step(
                 self.params, s0, s1, s16, sm, sv, tpos, ptrs, pv, pt,
-                jnp.float32(tdm), state.orig_hw, n_obj, mem_pos_flat)
+                self._dev_const(np.float32(tdm)), state.orig_hw, n_obj,
+                mem_pos_flat)
             mem_bank[t] = (new_mem, obj_ptr)
             return packed, score
 
@@ -415,8 +428,8 @@ class VideoPredictor:
         tpos_index = [M - 1] + [M - t_pos - 1 for t_pos in range(1, M)]
 
         spatial_mem = jnp.stack(slots, axis=0)
-        spatial_valid = jnp.asarray(valid)
-        tpos_idx = jnp.asarray(tpos_index, jnp.int32)
+        spatial_valid = self._dev_const(np.asarray(valid))
+        tpos_idx = self._dev_const(np.asarray(tpos_index, np.int32))
 
         P = self._layout.num_ptrs
         # pointer slots stay DEVICE arrays (stacked, never synced to host —
@@ -456,4 +469,4 @@ class VideoPredictor:
         ptrs = (jnp.stack(ptr_rows, axis=0) if P > 0
                 else jnp.zeros((0, O, cfg.d_model), jnp.float32))
         return (spatial_mem, spatial_valid, tpos_idx, ptrs,
-                jnp.asarray(pvalid), jnp.asarray(ptpos), t_diff_max)
+                self._dev_const(pvalid), self._dev_const(ptpos), t_diff_max)
