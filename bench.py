@@ -42,9 +42,13 @@ def main():
     from sam2_video_tpu.training.optimizer import make_optimizer
     from __graft_entry__ import _example_clip
 
-    B, T, O, C, S = 4, 10, 8, 7, 384
+    # measured optimum on v5e (see docs/DESIGN.md §3): B=1 without
+    # rematerialization beats B=4 with scan-body remat (7.6 vs 5.3 clips/s) —
+    # the recompute costs more than batching gains; this matches the default
+    # training config (batch_size 1, use_activation_checkpoint false).
+    B, T, O, C, S = 1, 10, 8, 7, 384
     cfg = SAM2Config(backbone="tiny", image_size=S, compute_dtype="bfloat16",
-                     use_activation_checkpoint=True)
+                     use_activation_checkpoint=False)
     mcfg = VideoModelConfig(sam2=cfg, prompt_type="point")
     params = sam2_mod.init(jax.random.PRNGKey(0), cfg)
     tx = make_optimizer(params, {"lr": 1e-4, "type": "AdamW"},
@@ -62,7 +66,7 @@ def main():
     state, metrics = step(state, batch)
     float(jax.device_get(metrics["total_loss"]))
 
-    n_steps = 10
+    n_steps = 20
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, metrics = step(state, batch)
@@ -72,7 +76,7 @@ def main():
     clips_per_sec = B * n_steps / dt
     print(json.dumps({
         "metric": "clips/sec/chip (10-frame 384px EndoVis18-style "
-                  "fine-tune step, SAM2-tiny, B=4, bf16)",
+                  "fine-tune step, SAM2-tiny, B=1, bf16)",
         "value": round(clips_per_sec, 3),
         "unit": "clips/sec/chip",
         "vs_baseline": round(clips_per_sec / A100_BASELINE_CLIPS_PER_SEC, 3),

@@ -99,9 +99,20 @@ class SAM2Config:
     use_mlp_for_obj_ptr_proj: bool = True
     no_obj_embed_spatial: bool = True
 
-    # training
+    # training — rematerialization strategy:
+    #   "none":    store all activations (fastest; B=1 at 384px fits HBM)
+    #   "body":    remat the whole scan body (lowest memory; enables B>=4)
+    #   "modules": remat decoder/memattn/memenc individually (the reference's
+    #              torch.utils.checkpoint granularity, sam2_base.py:362-371)
+    # use_activation_checkpoint=True maps to "body" unless remat_mode is set.
     use_activation_checkpoint: bool = True
+    remat_mode: str = ""  # "", "none", "body", "modules"
     compute_dtype: str = "bfloat16"  # activations dtype for encoder/attention
+
+    def resolved_remat_mode(self) -> str:
+        if self.remat_mode:
+            return self.remat_mode
+        return "body" if self.use_activation_checkpoint else "none"
     use_flash_attention: bool = True  # Pallas kernel for memory cross-attn
     # dtype of the ring-buffer memory bank carried through the scan. The
     # reference effectively stores memories in fp16 under autocast; bf16
@@ -293,7 +304,7 @@ def forward_sam_heads(p, cfg: SAM2Config, backbone_features,
 
     hr0 = high_res_features[0] if high_res_features is not None else None
     hr1 = high_res_features[1] if high_res_features is not None else None
-    if cfg.use_activation_checkpoint and training:
+    if cfg.resolved_remat_mode() != "none" and training:
         _decode = jax.checkpoint(_decode)
     low_res_multimasks, ious, sam_output_tokens, object_score_logits = _decode(
         backbone_features.astype(cfg.dtype()), sparse, dense, hr0, hr1)
@@ -408,7 +419,7 @@ def encode_new_memory(p, cfg: SAM2Config, pix_feat, high_res_masks,
         return memory_encoder_mod.apply(
             p["memory_encoder"], cfg.memory_encoder_config, pf, m)
 
-    if cfg.use_activation_checkpoint and training:
+    if cfg.resolved_remat_mode() != "none" and training:
         _enc = jax.checkpoint(_enc)
     mem, pos = _enc(pix_feat.astype(cfg.dtype()), mask_nhwc)
     if cfg.no_obj_embed_spatial:
@@ -519,7 +530,7 @@ def fuse_memory(p, cfg: SAM2Config, layout: MemoryLayout,
             feat_hw=(cfg.feat_size, cfg.feat_size),
             num_spatial_k=layout.num_spatial_tokens, key_valid=token_valid)
 
-    if cfg.use_activation_checkpoint and training:
+    if cfg.resolved_remat_mode() != "none" and training:
         _attend = jax.checkpoint(_attend)
     out = _attend(curr_feat.astype(dt), memory.astype(dt),
                   memory_pos.astype(dt))

@@ -111,11 +111,14 @@ def forward_train(params, mcfg: VideoModelConfig, clip: VideoClip,
     R = cfg.num_maskmem - 1                       # non-cond spatial slots
     Pn = max(layout.num_ptrs - 1, 0)              # non-cond pointer slots
     mm_track = _use_multimask(cfg, False, 0)
-    # the scan body is rematerialized as a whole (below); nesting the inner
-    # per-module jax.checkpoint wrappers inside it would recompute forwards
-    # twice in the backward pass, so disable them within the body
-    body_cfg = (dataclasses.replace(cfg, use_activation_checkpoint=False)
-                if cfg.use_activation_checkpoint and training else cfg)
+    # remat strategy: "body" wraps the whole scan body (below) and disables
+    # the inner per-module checkpoints (nesting would recompute forwards
+    # twice in backward); "modules" keeps the reference-granularity inner
+    # checkpoints; "none" stores everything (fastest when HBM allows)
+    remat_mode = cfg.resolved_remat_mode() if training else "none"
+    body_cfg = (dataclasses.replace(cfg, use_activation_checkpoint=False,
+                                    remat_mode="none")
+                if remat_mode == "body" else cfg)
 
     tpos_index = jnp.concatenate([
         jnp.asarray([cfg.num_maskmem - 1]), jnp.arange(R)])  # [M]
@@ -171,7 +174,7 @@ def forward_train(params, mcfg: VideoModelConfig, clip: VideoClip,
     carry0 = (jnp.zeros((R, O, HW, cfg.mem_dim), bank_dt),
               jnp.zeros((Pn, O, C), bank_dt))
     xs = (jnp.arange(1, T), s16[1:], s0[1:], s1[1:])
-    if cfg.use_activation_checkpoint and training:
+    if remat_mode == "body":
         body = jax.checkpoint(body)
     _, ys = jax.lax.scan(body, carry0, xs)
 
