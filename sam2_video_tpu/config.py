@@ -208,6 +208,7 @@ def model_config(cfg: Config):
         backbone=m.get("backbone", "tiny"),
         image_size=int(cfg.data.image_size),
         use_activation_checkpoint=bool(m.get("use_activation_checkpoint", False)),
+        remat_mode=str(m.get("remat_mode", "") or ""),
         compute_dtype=m.get("compute_dtype", "bfloat16"),
         detach_memory_bank=bool(m.get("detach_memory_bank", True)),
         num_maskmem=int(m.get("num_maskmem", 7)),
