@@ -18,6 +18,12 @@ def _flatten(tree, prefix=""):
     if isinstance(tree, dict):
         for k, v in tree.items():
             out.update(_flatten(v, f"{prefix}{k}."))
+    elif isinstance(tree, (list, tuple)) and not hasattr(tree, "_fields"):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}."))
+    elif hasattr(tree, "_fields"):  # NamedTuple (optax states)
+        for f in tree._fields:
+            out.update(_flatten(getattr(tree, f), f"{prefix}{f}."))
     else:
         out[prefix[:-1]] = np.asarray(tree)
     return out
@@ -90,9 +96,39 @@ class Checkpointer:
             return None
         return self.dir / self._records[0]["name"]
 
-    def restore(self, path: str | Path | None = None) -> dict:
+    def restore(self, path: str | Path | None = None, target=None) -> dict:
+        """Restore a checkpoint. Pass ``target`` (a TrainState-shaped pytree,
+        e.g. a freshly initialized state) to recover typed containers —
+        orbax deserializes optax NamedTuple states as plain dicts otherwise.
+        """
         path = Path(path) if path else (self.best_path or self.dir / "last")
-        return self._ckpt.restore(path)
+        restored = self._ckpt.restore(path)
+        if target is None:
+            return restored
+        tmpl = {"params": target.params, "opt_state": target.opt_state,
+                "step": target.step}
+        flat_restored = _flatten(restored)
+
+        def rebuild(template, prefix=""):
+            # walk the typed template; pull leaves from the restored dict
+            if isinstance(template, dict):
+                return {k: rebuild(v, f"{prefix}{k}.")
+                        for k, v in template.items()}
+            if isinstance(template, (list, tuple)) and not hasattr(
+                    template, "_fields"):
+                vals = [rebuild(v, f"{prefix}{i}.")
+                        for i, v in enumerate(template)]
+                return type(template)(vals)
+            if hasattr(template, "_fields"):  # NamedTuple (optax states)
+                vals = {f: rebuild(getattr(template, f), f"{prefix}{f}.")
+                        for f in template._fields}
+                return type(template)(**vals)
+            key = prefix[:-1]
+            if key in flat_restored:
+                return np.asarray(flat_restored[key])
+            return template  # e.g. empty optax states with no leaves
+
+        return rebuild(tmpl)
 
     def restore_params(self, path: str | Path | None = None) -> dict:
         return self.restore(path)["params"]

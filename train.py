@@ -154,7 +154,7 @@ def main(argv=None):
     # resume from a previous run's checkpoint dir (params+opt state+step)
     resume_path = cfg.trainer.get("resume_from")
     if resume_path:
-        restored = Checkpointer(Path(resume_path)).restore()
+        restored = Checkpointer(Path(resume_path)).restore(target=state)
         state = TrainState(params=restored["params"],
                            opt_state=restored["opt_state"],
                            step=jax.numpy.asarray(restored["step"]))
