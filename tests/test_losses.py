@@ -151,3 +151,34 @@ def test_empty_frame_contributes_zero(rng):
     np.testing.assert_allclose(float(got[CORE_LOSS_KEY]),
                                want[CORE_LOSS_KEY], rtol=2e-4)
     assert float(got["frames_without_valid"]) == 1
+
+
+def test_multistep_pred_obj_scores_branch(rng):
+    """loss_class focal on object-score logits vs torch rederivation
+    (losses.py:194-204: target=1 for all valid rows, alpha=-1, gamma=0
+    reduces to plain BCE mean over the singleton dim, / num_objects)."""
+    src, tgt, ious = _random_case(rng, T=2)
+    osl = (rng.standard_normal((2, 4, 1)) * 2).astype(np.float32)
+    wd = dict(LossConfig().weight_dict)
+    wd["loss_class"] = 2.0
+    cfg = LossConfig(weight_dict=wd, pred_obj_scores=True,
+                     focal_alpha_obj_score=-1.0, focal_gamma_obj_score=0.0)
+    per_cat = {"high_res_multimasks": jnp.asarray(src),
+               "ious": jnp.asarray(ious),
+               "object_score_logits": jnp.asarray(osl)}
+    got = multi_step_loss(cfg, per_cat, jnp.asarray(tgt))
+
+    want_cls = 0.0
+    for t in range(2):
+        g = torch.from_numpy(tgt[t]).float()
+        valid = g.sum(dim=(1, 2)).bool()
+        s = torch.from_numpy(osl[t])[valid]
+        n = float(valid.sum())
+        target = torch.ones_like(s)
+        ce = F.binary_cross_entropy_with_logits(s, target, reduction="none")
+        want_cls += (ce.mean(1).sum() / n).item()
+    np.testing.assert_allclose(float(got["loss_class"]), want_cls, rtol=2e-4)
+    base = torch_reference_multistep(src, tgt, ious, wd)
+    np.testing.assert_allclose(
+        float(got[CORE_LOSS_KEY]), base[CORE_LOSS_KEY] + 2.0 * want_cls,
+        rtol=2e-4)

@@ -146,3 +146,25 @@ def test_select_closest_cond_frames():
     # frame before all cond frames: no "before", two nearest after
     sel, _ = select_closest_cond_frames(-1, cond, 2)
     assert set(sel) == {0, 5}
+
+
+def test_memory_slot_selection_stride_r2():
+    """Eval-time r=2 memory stride (sam2_base.py:565-595): t_rel==1 takes the
+    immediately previous frame; t_rel>=2 takes every 2nd frame."""
+    cfg2 = SAM2Config(image_size=128, compute_dtype="float32",
+                      use_activation_checkpoint=False,
+                      memory_temporal_stride_for_eval=2)
+    params = sam2_mod.init(jax.random.PRNGKey(0), cfg2)
+    pred2 = VideoPredictor(params, cfg2, max_objects=2)
+    state = InferenceState(num_frames=40, orig_hw=(64, 64), feats=None,
+                           prompts={}, obj_order=["a"], cond_frame_idx=0)
+    bank = _fake_bank(pred2, range(1, 21), 40)
+    O, HW = pred2.max_objects, cfg2.num_spatial_tokens
+    cond_mem = jnp.full((O, HW, cfg2.mem_dim), 100.0)
+    cond_ptr = np.zeros((O, cfg2.d_model), np.float32)
+    sm, sv, *_ = _slot_frames(pred2, state, bank, cond_mem, cond_ptr,
+                              frame_idx=21, cond_f=0)
+    # frame 21, r=2: base = ((21-2)//2)*2 = 18; t_pos 1..5 -> 18-(t_rel-2)*2
+    # with t_rel = 7-t_pos: frames 10, 12, 14, 16, 18 then t_rel==1 -> 20
+    np.testing.assert_array_equal(sm[1:], [11, 13, 15, 17, 19, 21])
+    assert sv.all()
