@@ -86,6 +86,9 @@ class InferenceState:
     prompts: dict           # obj_id -> (frame_idx, kind, payload)
     obj_order: list         # obj_ids in insertion order
     cond_frame_idx: int | None = None
+    cond_cache: tuple | None = None   # (head outs, cond memory, mem pos)
+    mem_bank: dict | None = None      # frame -> (memory, obj_ptr), persists
+                                      # across propagate calls
 
 
 class VideoPredictor:
@@ -288,6 +291,9 @@ class VideoPredictor:
             state.obj_order.append(obj_id)
         state.prompts[obj_id] = (frame_idx, payload)
         state.cond_frame_idx = frame_idx
+        # new prompts invalidate the conditioning cache + tracked memories
+        state.cond_cache = None
+        state.mem_bank = None
 
     # -- propagation --------------------------------------------------------
 
@@ -352,13 +358,22 @@ class VideoPredictor:
         cfg = self.cfg
         f = state.cond_frame_idx
         T = state.num_frames
-        out, cond_mem, mem_pos = self._run_cond_frame(state)
+        # conditioning outputs and the memory bank PERSIST across propagate
+        # calls (external-predictor parity: the forward pass attends to
+        # memories produced by a preceding reverse pass on the same state,
+        # since the reference shares one inference_state across both,
+        # inference.py:487-515)
+        if state.cond_cache is None:
+            state.cond_cache = self._run_cond_frame(state)
+            state.mem_bank = {}
+        out, cond_mem, mem_pos = state.cond_cache
         n_obj = len(state.obj_order)
         obj_ids = list(state.obj_order)
 
         # mem_bank holds DEVICE arrays only — memory assembly for frame t+1
         # dispatches asynchronously while the host fetches frame t's logits
-        mem_bank = {f: (cond_mem, out["obj_ptr"])}
+        mem_bank = state.mem_bank
+        mem_bank[f] = (cond_mem, out["obj_ptr"])
         cond_ptr = out["obj_ptr"]
         mem_pos_flat = mem_pos.reshape(-1, cfg.mem_dim)
 

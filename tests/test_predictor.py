@@ -168,3 +168,36 @@ def test_memory_slot_selection_stride_r2():
     # with t_rel = 7-t_pos: frames 10, 12, 14, 16, 18 then t_rel==1 -> 20
     np.testing.assert_array_equal(sm[1:], [11, 13, 15, 17, 19, 21])
     assert sv.all()
+
+
+def test_forward_pass_sees_reverse_pass_memories(pred, rng):
+    """External-predictor parity: both propagate directions share one
+    inference state, so the forward pass attends to memories the reverse
+    pass produced (reference predict_on_video runs reverse then forward on
+    the same state, inference.py:487-515)."""
+    T, H, W = 6, 64, 64
+    frames = (rng.random((T, H, W, 3)) * 255).astype(np.uint8)
+    mask = np.zeros((H, W), np.uint8)
+    mask[20:40, 20:40] = 1
+
+    # shared-state run: reverse then forward (cond at frame 3)
+    state = pred.init_state(frames)
+    pred.add_new_mask(state, 3, obj_id=1, mask=mask)
+    rev = {fi: lg for fi, _, lg, _ in
+           pred.propagate_in_video(state, reverse=True)}
+    assert sorted(rev) == [0, 1, 2, 3]
+    assert set(state.mem_bank) == {0, 1, 2, 3}
+    fwd_shared = {fi: lg for fi, _, lg, _ in pred.propagate_in_video(state)}
+
+    # fresh-state forward only (no reverse memories available)
+    state2 = pred.init_state(frames)
+    pred.add_new_mask(state2, 3, obj_id=1, mask=mask)
+    fwd_fresh = {fi: lg for fi, _, lg, _ in pred.propagate_in_video(state2)}
+
+    # frame 4's memory slots include frames 2/1/0 only in the shared run,
+    # so its logits must differ; the cond frame itself is identical
+    np.testing.assert_array_equal(fwd_shared[3], fwd_fresh[3])
+    assert not np.allclose(fwd_shared[4], fwd_fresh[4])
+    # re-prompting resets the persisted state
+    pred.add_new_mask(state, 0, obj_id=1, mask=mask)
+    assert state.mem_bank is None and state.cond_cache is None
