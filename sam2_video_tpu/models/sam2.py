@@ -98,6 +98,10 @@ class SAM2Config:
     soft_no_obj_ptr: bool = False
     use_mlp_for_obj_ptr_proj: bool = True
     no_obj_embed_spatial: bool = True
+    # eval-time fallback to the best multimask token on unstable single-mask
+    # outputs (mask_decoder extra arg; SAM2.1 enables it — note the multimask
+    # tokens are only meaningful with pretrained weights)
+    dynamic_multimask_via_stability: bool = True
 
     # training — rematerialization strategy:
     #   "none":    store all activations (fastest; B=1 at 384px fits HBM)
@@ -163,7 +167,8 @@ class SAM2Config:
             iou_prediction_use_sigmoid=self.iou_prediction_use_sigmoid,
             pred_obj_scores=self.pred_obj_scores,
             pred_obj_scores_mlp=self.pred_obj_scores_mlp,
-            use_multimask_token_for_obj_ptr=self.use_multimask_token_for_obj_ptr)
+            use_multimask_token_for_obj_ptr=self.use_multimask_token_for_obj_ptr,
+            dynamic_multimask_via_stability=self.dynamic_multimask_via_stability)
 
     @property
     def memory_attention_config(self) -> memory_attention_mod.MemoryAttentionConfig:
