@@ -201,3 +201,17 @@ def test_converter_layout_roundtrip():
     for name in flat:
         np.testing.assert_array_equal(got[name], flat[name], err_msg=name)
     assert not report["missing"] and not report["unexpected"]
+
+
+def test_data_parallel_eval_step_on_cpu_mesh(rng):
+    from sam2_video_tpu.parallel import mesh as mesh_mod
+    from sam2_video_tpu.training.loop import make_eval_step
+    mesh = mesh_mod.make_mesh(num_data=8)
+    cfg = tiny_cfg()
+    params = sam2_mod.init(jax.random.PRNGKey(0), cfg)
+    params = mesh_mod.replicate(mesh, params)
+    mcfg = VideoModelConfig(sam2=cfg, prompt_type="mask")
+    estep = make_eval_step(mcfg, LossConfig(), mesh=mesh)
+    batch = mesh_mod.shard_batch(mesh, make_batch(rng, cfg, B=8))
+    metrics = estep(params, batch)
+    assert np.isfinite(float(metrics[CORE_LOSS_KEY]))
