@@ -260,6 +260,23 @@ def flash_attention(q, k, v, key_bias=None):
     Lk = k.shape[-2]
     Dv = v.shape[-1]
     on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    # pad keys to a 256-multiple with -inf bias so any Lk tiles (512px has
+    # Lk = 7232); padded keys get zero softmax weight
+    pad_k = (-Lk) % 256
+    if on_tpu and pad_k and Lq <= MAX_LQ and Lq % 8 == 0 \
+            and D % 128 == 0 and Dv % 128 == 0:
+        k = jnp.concatenate([k, jnp.zeros(k.shape[:-2] + (pad_k, D),
+                                          k.dtype)], axis=-2)
+        v = jnp.concatenate([v, jnp.zeros(v.shape[:-2] + (pad_k, Dv),
+                                          v.dtype)], axis=-2)
+        kb_full = (jnp.broadcast_to(key_bias.astype(jnp.float32),
+                                    tuple(lead) + (Lk,))
+                   if key_bias is not None
+                   else jnp.zeros(tuple(lead) + (Lk,), jnp.float32))
+        key_bias = jnp.concatenate(
+            [kb_full, jnp.full(tuple(lead) + (pad_k,), -1e9, jnp.float32)],
+            axis=-1)
+        Lk = Lk + pad_k
     block_k = _pick_block(Lk, 1024, 128)
     ok = (on_tpu and block_k is not None and Lq <= MAX_LQ and Lq % 8 == 0
           and D % 128 == 0 and Dv % 128 == 0)
