@@ -1,33 +1,49 @@
 """Streaming video predictor: init_state / add_new_points_or_box /
-add_new_mask / propagate_in_video (bidirectional).
+add_new_mask / propagate_in_video (bidirectional, multi-conditioning-frame).
 
 This replaces the external ``sam2.build_sam2_video_predictor`` capability the
 reference relies on (SURVEY.md §3.2 note): the same SAM2 core drives it, with
-a TPU-friendly split — three jitted fixed-shape device functions (batch image
-encode, prompted conditioning step, memory-conditioned tracking step) reused
-across every clip/video, while the *host* owns the fiddly dynamic logic:
-which frames occupy which memory slot (eval-time r-stride sampling,
-sam2_base.py:565-595), past-only object-pointer selection
-(sam2_base.py:618-647), reverse tracking, and original-resolution mask
-resizing.
+a TPU-friendly split — a handful of jitted fixed-shape device functions
+(batch image encode, prompted conditioning step, memory-conditioned tracking
+step, cross-object memory consolidation) reused across every clip/video,
+while the *host* owns the fiddly dynamic logic: which frames occupy which
+memory slot (eval-time r-stride sampling, sam2_base.py:565-595),
+closest-conditioning-frame selection (sam2_base.py:555-560), past-only
+object-pointer selection (sam2_base.py:618-647), reverse tracking, and
+original-resolution mask resizing.
 
 Eval frame preprocessing matches the external predictor: squash-resize to
 image_size x image_size (NO aspect-preserving crop — unlike training) and
 ImageNet-normalize; output logits are upsampled back to the original video
-resolution on device.
+resolution on the host.
 
-Scope note: prompts may mix kinds across objects but must share ONE
-conditioning frame per propagation (the reference's clip schedulers always
-produce single-prompt-frame clips, inference.py:657-767; the external
-predictor's multi-cond-frame interactive flow is future work — the fixed
-memory layout already supports extra cond slots via ``tpos_index``).
+Multi-conditioning frames: prompts may target several frames. Each prompted
+frame becomes a conditioning frame; during tracking, the ``max_cond_frames``
+temporally closest conditioning memories attend at temporal position 0
+(sam2_base.py:555-561), unselected ones fill r-stride slots / pointer rows
+like non-conditioning frames (sam2_base.py:592-595, 643-647). When objects
+are prompted on different frames, each conditioning frame's memory is
+consolidated across all objects the way the external predictor's preflight
+does: unprompted objects take their previously tracked masks if the frame was
+tracked, else a NO_OBJ placeholder mask (logits -1024), a dummy object score
+of +10, and an "empty mask" pointer obtained by running the SAM heads on an
+all-zero mask prompt. ``max_cond_frames`` is a compile-time slot budget
+(default 1 keeps the single-conditioning compiled shapes); construct the
+predictor with ``max_cond_frames=N`` to attend to several.
+
+One deliberate divergence, shared with our training path: when ALL objects
+are prompted on a conditioning frame, its memory is encoded from the SAM
+head's native image-resolution mask logits (exactly like training,
+sam2_base.py:715-769) instead of the external predictor's
+upsample-of-low-res round trip; the two are bit-identical for point/box
+prompts and differ only sub-pixel for mask prompts.
 """
 
 from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Iterator
+from typing import Iterator, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -35,8 +51,9 @@ import numpy as np
 
 from ..data.coco import IMAGENET_MEAN, IMAGENET_STD
 from ..models import sam2 as sam2_mod
-from ..models.sam2 import SAM2Config
+from ..models.sam2 import NO_OBJ_SCORE, SAM2Config
 from ..ops.resize import resize_bilinear
+from .utils import select_closest_cond_frames
 
 
 try:
@@ -78,27 +95,48 @@ def logits_to_orig(logits: np.ndarray, orig_hw, want_probs: bool = False):
     return masks, probs
 
 
+class CondOutput(NamedTuple):
+    """Consolidated conditioning-frame output (all device arrays)."""
+    lowres: object          # [O, 1, S/4, S/4] f32 mask logits
+    mem: object             # [O, HW, mem_dim] encoded memory
+    ptr: object             # [O, C] object pointers
+    score: object           # [O, 1] object score logits
+
+
+class TrackedOutput(NamedTuple):
+    """Per-tracked-frame outputs kept on device for memory assembly and for
+    consolidating later-prompted conditioning frames."""
+    mem: object             # [O, HW, mem_dim]
+    ptr: object             # [O, C]
+    lowres: object = None   # [O, 1, S/4, S/4] f16 mask logits
+    score: object = None    # [O, 1] object score logits
+
+
 @dataclasses.dataclass
 class InferenceState:
     num_frames: int
     orig_hw: tuple[int, int]
     feats: tuple            # (s0 [T,...], s1 [T,...], s16 [T,...]) on device
-    prompts: dict           # obj_id -> (frame_idx, kind, payload)
+    prompts: dict           # frame_idx -> {obj_id: payload}
     obj_order: list         # obj_ids in insertion order
-    cond_frame_idx: int | None = None
-    cond_cache: tuple | None = None   # (head outs, cond memory, mem pos)
-    mem_bank: dict | None = None      # frame -> (memory, obj_ptr), persists
-                                      # across propagate calls
+    cond_frame_idx: int | None = None      # most recently prompted frame
+    cond_outputs: dict | None = None       # frame -> CondOutput, persists
+    mem_bank: dict | None = None           # frame -> TrackedOutput, persists
+                                           # across propagate calls
 
 
 class VideoPredictor:
     def __init__(self, params, cfg: SAM2Config, max_objects: int = 8,
-                 encode_chunk: int = 8):
+                 encode_chunk: int = 8, max_cond_frames: int = 1):
         self.params = params
         self.cfg = cfg
         self.max_objects = max_objects
         self.encode_chunk = encode_chunk
+        if max_cond_frames < 1:
+            raise ValueError("max_cond_frames must be >= 1")
+        self.max_cond_frames = max_cond_frames
         self._const_cache: dict = {}
+        self._mem_pos_flat = None
         self._build_jitted()
 
     # -- jitted device functions (compiled once, reused across videos) ------
@@ -125,9 +163,9 @@ class VideoPredictor:
             from ..ops.position_encoding import sine_pe_2d
             return sine_pe_2d(F, F, C).reshape(HW, C)
 
-        @jax.jit
+        @partial(jax.jit, static_argnums=(7,))
         def prompt_step(params, s0, s1, s16, point_coords, point_labels,
-                        obj_valid):
+                        obj_valid, multimask):
             """Conditioning-frame step with point/box prompts.
             s*: single-frame features; coords [O, P, 2] in model pixels."""
             feats = jnp.broadcast_to(s16[None], (O,) + s16.shape)
@@ -138,7 +176,7 @@ class VideoPredictor:
             out = sam2_mod.forward_sam_heads(
                 params, cfg, pix, point_coords=point_coords,
                 point_labels=point_labels, high_res_features=hr,
-                multimask_output=False, training=False)
+                multimask_output=multimask, training=False)
             mem, mem_pos = sam2_mod.encode_new_memory(
                 params, cfg, feats, out["high_res_masks"],
                 out["object_score_logits"], training=False,
@@ -169,11 +207,15 @@ class VideoPredictor:
             return out, mem.reshape(O, HW, cfg.mem_dim), mem_pos
 
         M = cfg.num_maskmem
-        P = cfg.max_obj_ptrs_in_encoder
+        # extra conditioning slots beyond the first enlarge both the spatial
+        # memory and the pointer budget; max_cond_frames=1 keeps the exact
+        # single-conditioning compiled shapes
+        n_cond = self.max_cond_frames
+        P = ((cfg.max_obj_ptrs_in_encoder + n_cond - 1)
+             if cfg.use_obj_ptrs_in_encoder else 0)
         layout = sam2_mod.MemoryLayout(
-            num_maskmem=M, tokens_per_slot=HW,
-            num_ptrs=P if cfg.use_obj_ptrs_in_encoder else 0,
-            tokens_per_ptr=cfg.ptr_tokens_per_obj)
+            num_maskmem=M + n_cond - 1, tokens_per_slot=HW,
+            num_ptrs=P, tokens_per_ptr=cfg.ptr_tokens_per_obj)
 
         @partial(jax.jit, static_argnums=(11, 12))
         def track_step(params, s0, s1, s16, spatial_mem, spatial_valid,
@@ -200,8 +242,22 @@ class VideoPredictor:
                 out["object_score_logits"], training=False,
                 apply_non_overlap=cfg.non_overlap_masks_for_mem_enc)
             packed, score = _pack(out["high_res_masks"], orig_hw, n_obj)
-            return (out["obj_ptr"], mem.reshape(O, HW, cfg.mem_dim), packed,
-                    score)
+            return (out["obj_ptr"], mem.reshape(O, HW, cfg.mem_dim),
+                    out["low_res_masks"].astype(jnp.float16),
+                    out["object_score_logits"], packed, score)
+
+        @jax.jit
+        def consolidate_mem(params, s16, lowres, score_logits):
+            """Re-encode one conditioning frame's memory from cross-object
+            consolidated low-res mask logits (external predictor preflight:
+            consolidated masks are upsampled to image resolution, then fed to
+            the memory encoder)."""
+            hr_masks = resize_bilinear(lowres.astype(jnp.float32), (S, S))
+            feats = jnp.broadcast_to(s16[None], (O,) + s16.shape)
+            mem, _ = sam2_mod.encode_new_memory(
+                params, cfg, feats, hr_masks, score_logits, training=False,
+                apply_non_overlap=cfg.non_overlap_masks_for_mem_enc)
+            return mem.reshape(O, HW, cfg.mem_dim)
 
         def _pack(logits, orig_hw, n_obj):
             """[O, 1, S, S] logits -> (low-res f16 logits sliced to the real
@@ -215,11 +271,22 @@ class VideoPredictor:
         def score_and_pack(logits, orig_hw, n_obj):
             return _pack(logits, orig_hw, n_obj)
 
+        @partial(jax.jit, static_argnums=(1, 2))
+        def upsample_pack(lowres, orig_hw, n_obj):
+            """Conditioning-frame output path: the external predictor stores
+            low-res logits and upsamples for output, so cond-frame yields are
+            upsample(low_res) (identical to the head's native high-res for
+            point prompts; sub-pixel different for mask-bypass prompts)."""
+            hr = resize_bilinear(lowres.astype(jnp.float32), (S, S))
+            return _pack(hr, orig_hw, n_obj)
+
         self._encode = encode
         self._prompt_step = prompt_step
         self._mask_prompt_step = mask_prompt_step
         self._track_step = track_step
+        self._consolidate_mem = consolidate_mem
         self._score_and_pack = score_and_pack
+        self._upsample_pack = upsample_pack
         self._curr_pos = _posenc()
         self._layout = layout
 
@@ -283,56 +350,68 @@ class VideoPredictor:
                   ("mask", (np.asarray(m) > 127).astype(np.float32), None))
 
     def _add(self, state, frame_idx, obj_id, payload):
-        if obj_id not in state.prompts:
+        if obj_id not in state.obj_order:
             if len(state.obj_order) >= self.max_objects:
                 raise ValueError(
                     f"more than max_objects={self.max_objects} objects; "
                     "raise model.max_objects")
             state.obj_order.append(obj_id)
-        state.prompts[obj_id] = (frame_idx, payload)
+            # a new object invalidates everything: earlier consolidations and
+            # tracked outputs hold garbage in its row
+            state.cond_outputs = None
+            state.mem_bank = None
+        else:
+            # re-prompting an existing object only invalidates the prompted
+            # frame's conditioning output (external-predictor semantics:
+            # other conditioning frames and tracked outputs are reused — a
+            # tracked output at this frame is consumed by consolidation)
+            if state.cond_outputs is not None:
+                state.cond_outputs.pop(frame_idx, None)
+        state.prompts.setdefault(frame_idx, {})[obj_id] = payload
         state.cond_frame_idx = frame_idx
-        # new prompts invalidate the conditioning cache + tracked memories
-        state.cond_cache = None
-        state.mem_bank = None
 
-    # -- propagation --------------------------------------------------------
+    # -- conditioning steps --------------------------------------------------
 
-    def _run_cond_frame(self, state: InferenceState):
-        """Run the conditioning step for all prompted objects (all prompts
-        share one frame in the reference flow)."""
+    def _run_cond_frame(self, state: InferenceState, f: int):
+        """Run the prompt step(s) for the objects prompted at frame ``f``.
+        Rows of objects without a prompt at ``f`` contain padding-prompt
+        outputs and are overridden by consolidation."""
         cfg = self.cfg
         O = self.max_objects
-        f = state.cond_frame_idx
-        assert f is not None, "no prompts added"
         s0, s1, s16 = (x[f] for x in state.feats)
         obj_valid = np.zeros((O,), bool)
         obj_valid[: len(state.obj_order)] = True
+        at_f = state.prompts[f]
         mask_objs = [i for i, o in enumerate(state.obj_order)
-                     if state.prompts[o][1][0] == "mask"]
+                     if o in at_f and at_f[o][0] == "mask"]
         point_objs = [i for i, o in enumerate(state.obj_order)
-                      if state.prompts[o][1][0] == "points"]
+                      if o in at_f and at_f[o][0] == "points"]
 
         results = []
         if mask_objs:
             S = cfg.image_size
             masks = np.zeros((O, S, S), np.float32)
             for i in mask_objs:
-                masks[i] = state.prompts[state.obj_order[i]][1][1]
+                masks[i] = at_f[state.obj_order[i]][1]
             results.append((mask_objs, self._mask_prompt_step(
                 self.params, s0, s1, s16, jnp.asarray(masks),
                 jnp.asarray(obj_valid))))
         if point_objs:
-            maxp = max(len(state.prompts[state.obj_order[i]][1][1])
-                       for i in point_objs)
+            maxp = max(len(at_f[state.obj_order[i]][1]) for i in point_objs)
             coords = np.zeros((O, maxp, 2), np.float32)
             labels = -np.ones((O, maxp), np.int32)
             for i in point_objs:
-                _, (kind, pts, lbl) = state.prompts[state.obj_order[i]]
+                _, pts, lbl = at_f[state.obj_order[i]]
                 coords[i, : len(pts)] = pts
                 labels[i, : len(pts)] = lbl
+            # multimask gating parity (sam2_base.py:932-940): initial cond
+            # frame + click count within [min, max]; the flag is per-step
+            # (objects share it — the runner always prompts equal counts)
+            from ..models.video_model import _use_multimask
             results.append((point_objs, self._prompt_step(
                 self.params, s0, s1, s16, jnp.asarray(coords),
-                jnp.asarray(labels), jnp.asarray(obj_valid))))
+                jnp.asarray(labels), jnp.asarray(obj_valid),
+                _use_multimask(cfg, True, maxp))))
 
         if len(results) == 1:
             return results[0][1]
@@ -348,52 +427,123 @@ class VideoPredictor:
         out = {k: merge(out_m[k], out_p[k]) for k in out_m}
         return out, merge(mem_m, mem_p), pos_m
 
+    def _empty_mask_ptr(self, state: InferenceState, f: int):
+        """Object pointer for "no prompt, no tracked output" rows of a
+        consolidated conditioning frame: run the mask step on an all-zero
+        mask (the external predictor's _get_empty_mask_ptr). Returns
+        [O, C] (all rows identical)."""
+        s0, s1, s16 = (x[f] for x in state.feats)
+        S = self.cfg.image_size
+        out, _, _ = self._mask_prompt_step(
+            self.params, s0, s1, s16,
+            self._dev_const(np.zeros((self.max_objects, S, S), np.float32)),
+            self._dev_const(np.ones((self.max_objects,), bool)))
+        return out["obj_ptr"]
+
+    def _ensure_cond_outputs(self, state: InferenceState):
+        """Compute + consolidate outputs for every prompted frame that does
+        not have one yet (external predictor propagate_in_video_preflight)."""
+        if not state.prompts:
+            raise ValueError("no prompts added")
+        if len(state.prompts) > 1 and self.max_cond_frames == 1:
+            raise ValueError(
+                f"{len(state.prompts)} conditioning frames prompted but the "
+                "predictor was built with max_cond_frames=1; construct "
+                "VideoPredictor(..., max_cond_frames=N) to attend to several")
+        if state.cond_outputs is None:
+            state.cond_outputs = {}
+        if state.mem_bank is None:
+            state.mem_bank = {}
+        O = self.max_objects
+        n_obj = len(state.obj_order)
+        for f in sorted(state.prompts):
+            if f in state.cond_outputs:
+                continue
+            # the frame moves from non-cond to cond; its tracked output (if
+            # any) feeds unprompted rows of the consolidation below
+            tracked = state.mem_bank.pop(f, None)
+            out, mem, mem_pos = self._run_cond_frame(state, f)
+            if self._mem_pos_flat is None:
+                self._mem_pos_flat = mem_pos.reshape(-1, self.cfg.mem_dim)
+            prompted = np.zeros((O,), bool)
+            for i, o in enumerate(state.obj_order):
+                prompted[i] = o in state.prompts[f]
+            if prompted[:n_obj].all():
+                # every object prompted here: the step outputs ARE the
+                # consolidated outputs (memory from native high-res masks,
+                # matching the training path)
+                state.cond_outputs[f] = CondOutput(
+                    lowres=out["low_res_masks"], mem=mem,
+                    ptr=out["obj_ptr"], score=out["object_score_logits"])
+                continue
+            # partial coverage: fill unprompted rows from tracked outputs if
+            # this frame was tracked before, else NO_OBJ placeholders
+            sel = self._dev_const(prompted)
+            if tracked is not None and tracked.lowres is not None:
+                alt_low = tracked.lowres.astype(jnp.float32)
+                alt_ptr, alt_score = tracked.ptr, tracked.score
+            else:
+                alt_low = jnp.full_like(out["low_res_masks"], NO_OBJ_SCORE)
+                alt_ptr = self._empty_mask_ptr(state, f)
+                # dummy +10 score: "object present" for the no-obj spatial
+                # embed gate, like the external predictor's consolidation
+                alt_score = jnp.full_like(out["object_score_logits"], 10.0)
+            lowres = jnp.where(sel[:, None, None, None],
+                               out["low_res_masks"], alt_low)
+            ptr = jnp.where(sel[:, None], out["obj_ptr"], alt_ptr)
+            score = jnp.where(sel[:, None], out["object_score_logits"],
+                              alt_score)
+            s16 = state.feats[2][f]
+            cmem = self._consolidate_mem(self.params, s16, lowres, score)
+            state.cond_outputs[f] = CondOutput(
+                lowres=lowres, mem=cmem, ptr=ptr, score=score)
+
+    # -- propagation --------------------------------------------------------
+
     def propagate_in_video(self, state: InferenceState,
-                           reverse: bool = False) -> Iterator[tuple]:
+                           reverse: bool = False,
+                           start_frame_idx: int | None = None
+                           ) -> Iterator[tuple]:
         """Yields (frame_idx, obj_ids, logits [n_obj, 1, S, S] f16 numpy,
         score [n_obj]). Only model-resolution logits cross the device->host
         link; use ``logits_to_orig`` to get original-resolution masks/probs
         on host (the external predictor returns orig-res logits — same
-        information, resampled host-side for tunnel-bandwidth reasons)."""
-        cfg = self.cfg
-        f = state.cond_frame_idx
+        information, resampled host-side for tunnel-bandwidth reasons).
+
+        Conditioning outputs and the memory bank PERSIST across propagate
+        calls (external-predictor parity: the forward pass attends to
+        memories produced by a preceding reverse pass on the same state,
+        since the reference shares one inference_state across both,
+        inference.py:487-515). Starts at the earliest conditioning frame in
+        both directions unless ``start_frame_idx`` is given."""
+        self._ensure_cond_outputs(state)
         T = state.num_frames
-        # conditioning outputs and the memory bank PERSIST across propagate
-        # calls (external-predictor parity: the forward pass attends to
-        # memories produced by a preceding reverse pass on the same state,
-        # since the reference shares one inference_state across both,
-        # inference.py:487-515)
-        if state.cond_cache is None:
-            state.cond_cache = self._run_cond_frame(state)
-            state.mem_bank = {}
-        out, cond_mem, mem_pos = state.cond_cache
         n_obj = len(state.obj_order)
         obj_ids = list(state.obj_order)
-
-        # mem_bank holds DEVICE arrays only — memory assembly for frame t+1
-        # dispatches asynchronously while the host fetches frame t's logits
         mem_bank = state.mem_bank
-        mem_bank[f] = (cond_mem, out["obj_ptr"])
-        cond_ptr = out["obj_ptr"]
-        mem_pos_flat = mem_pos.reshape(-1, cfg.mem_dim)
+        cond_outputs = state.cond_outputs
 
-        frame_order = ([f] + list(range(f - 1, -1, -1)) if reverse
-                       else [f] + list(range(f + 1, T)))
+        f0 = (start_frame_idx if start_frame_idx is not None
+              else min(cond_outputs))
+        frame_order = (list(range(f0, -1, -1)) if reverse
+                       else list(range(f0, T)))
+        mem_pos_flat = self._mem_pos_flat
 
         def dispatch(t):
             """Launch frame t's fused device step; returns device futures."""
-            if t == f:
-                packed, score = self._score_and_pack(
-                    out["high_res_masks"], state.orig_hw, n_obj)
-                return packed, score
+            co = cond_outputs.get(t)
+            if co is not None:
+                return self._upsample_pack(co.lowres, state.orig_hw, n_obj)
             sm, sv, tpos, ptrs, pv, pt, tdm = self._assemble_memory(
-                state, mem_bank, cond_mem, cond_ptr, t, f, reverse)
+                state, mem_bank, cond_outputs, t, reverse)
             s0, s1, s16 = (x[t] for x in state.feats)
-            obj_ptr, new_mem, packed, score = self._track_step(
-                self.params, s0, s1, s16, sm, sv, tpos, ptrs, pv, pt,
-                self._dev_const(np.float32(tdm)), state.orig_hw, n_obj,
-                mem_pos_flat)
-            mem_bank[t] = (new_mem, obj_ptr)
+            obj_ptr, new_mem, lowres, oscore, packed, score = \
+                self._track_step(
+                    self.params, s0, s1, s16, sm, sv, tpos, ptrs, pv, pt,
+                    self._dev_const(np.float32(tdm)), state.orig_hw, n_obj,
+                    mem_pos_flat)
+            mem_bank[t] = TrackedOutput(mem=new_mem, ptr=obj_ptr,
+                                        lowres=lowres, score=oscore)
             return packed, score
 
         # software pipeline: frame t+1 computes on device while the host
@@ -408,19 +558,55 @@ class VideoPredictor:
         pt_, (pk, sc) = pending
         yield (pt_, obj_ids, np.asarray(pk), np.asarray(sc))
 
-    def _assemble_memory(self, state, mem_bank, cond_mem, cond_ptr,
-                         frame_idx, cond_f, reverse):
+    def _assemble_memory(self, state, mem_bank, cond_outputs, frame_idx,
+                         reverse):
         """Host-side memory-slot selection (sam2_base.py:549-675 eval rules):
-        slot 0 = conditioning frame; slots 1..M-1 = non-cond frames chosen by
-        the r-stride rule; pointer slots = cond pointer + past frames."""
+        the first ``max_cond_frames`` slots hold the temporally closest
+        conditioning frames (all at temporal position 0); the remaining M-1
+        slots hold non-cond frames chosen by the r-stride rule (falling back
+        to unselected conditioning frames); pointer slots = selected-cond
+        pointers (past-only at eval) + past non-cond/unselected frames."""
         cfg = self.cfg
         O = self.max_objects
         HW = cfg.num_spatial_tokens
         M = cfg.num_maskmem
+        n_cond = self.max_cond_frames
         r = max(cfg.memory_temporal_stride_for_eval, 1)
 
-        slots = [cond_mem]
-        valid = [True]
+        budget = n_cond
+        if cfg.max_cond_frames_in_attn > 0:
+            budget = min(budget, cfg.max_cond_frames_in_attn)
+        if budget == 1 and len(cond_outputs) > 1:
+            # reference select_closest_cond_frames requires >= 2 when
+            # limiting; with a single slot take the nearest one ourselves
+            # (before preferred, like the reference's selection order)
+            t = max((t for t in cond_outputs if t < frame_idx), default=None)
+            if t is None:
+                t = min(t for t in cond_outputs if t >= frame_idx)
+            selected = {t: cond_outputs[t]}
+            unselected = {k: v for k, v in cond_outputs.items() if k != t}
+        else:
+            selected, unselected = select_closest_cond_frames(
+                frame_idx, cond_outputs,
+                budget if len(cond_outputs) > 1 else -1)
+
+        zero_slot = None
+
+        def _zero():
+            nonlocal zero_slot
+            if zero_slot is None:
+                zero_slot = jnp.zeros((O, HW, cfg.mem_dim), jnp.float32)
+            return zero_slot
+
+        slots, valid = [], []
+        sel_frames = list(selected)
+        for i in range(n_cond):
+            if i < len(sel_frames):
+                slots.append(selected[sel_frames[i]][1])  # CondOutput.mem
+                valid.append(True)
+            else:
+                slots.append(_zero())
+                valid.append(False)
         for t_pos in range(1, M):
             t_rel = M - t_pos
             if t_rel == 1:
@@ -430,17 +616,24 @@ class VideoPredictor:
                     prev = ((frame_idx - 2) // r) * r - (t_rel - 2) * r
                 else:
                     prev = -(-(frame_idx + 2) // r) * r + (t_rel - 2) * r
-            entry = mem_bank.get(prev) if prev != cond_f else None
+            if prev in selected:
+                entry = None          # already attended as a cond slot
+            elif prev in unselected:
+                entry = unselected[prev][1]   # CondOutput.mem
+            else:
+                e = mem_bank.get(prev)
+                entry = e[0] if e is not None else None
             if entry is None:
-                slots.append(jnp.zeros((O, HW, cfg.mem_dim), jnp.float32))
+                slots.append(_zero())
                 valid.append(False)
             else:
-                slots.append(entry[0])
+                slots.append(entry)
                 valid.append(True)
         # tpos embedding index parity: reference adds
-        # maskmem_tpos_enc[M - t_pos - 1] (sam2_base.py:608-610); slots are
-        # built in t_pos order (cond first with t_pos=0 -> index M-1)
-        tpos_index = [M - 1] + [M - t_pos - 1 for t_pos in range(1, M)]
+        # maskmem_tpos_enc[M - t_pos - 1] (sam2_base.py:608-610); all cond
+        # slots have t_pos=0 -> index M-1 (sam2_base.py:555-561)
+        tpos_index = [M - 1] * n_cond + \
+            [M - t_pos - 1 for t_pos in range(1, M)]
 
         spatial_mem = jnp.stack(slots, axis=0)
         spatial_valid = self._dev_const(np.asarray(valid))
@@ -456,25 +649,32 @@ class VideoPredictor:
         if P > 0:
             max_ptrs = min(state.num_frames, cfg.max_obj_ptrs_in_encoder)
             sign = -1.0 if reverse else 1.0
-            # conditioning pointer: only if in the past (eval rule)
             idx = 0
-            include_cond = (cond_f >= frame_idx if reverse
-                            else cond_f <= frame_idx) or \
-                not cfg.only_obj_ptrs_in_the_past_for_eval
-            if include_cond:
-                ptr_rows[idx] = jnp.asarray(cond_ptr, jnp.float32)
-                pvalid[idx] = True
-                ptpos[idx] = ((frame_idx - cond_f) * sign
-                              if cfg.use_signed_tpos_enc_to_obj_ptrs
-                              else abs(frame_idx - cond_f))
-                idx += 1
+            for t, co in selected.items():
+                # conditioning pointers: only those in the past (eval rule,
+                # sam2_base.py:623-631)
+                include = (t >= frame_idx if reverse else t <= frame_idx) or \
+                    not cfg.only_obj_ptrs_in_the_past_for_eval
+                if include and idx < P:
+                    ptr_rows[idx] = jnp.asarray(co[2], jnp.float32)  # .ptr
+                    pvalid[idx] = True
+                    ptpos[idx] = ((frame_idx - t) * sign
+                                  if cfg.use_signed_tpos_enc_to_obj_ptrs
+                                  else abs(frame_idx - t))
+                    idx += 1
             for t_diff in range(1, max_ptrs):
                 t = frame_idx + t_diff if reverse else frame_idx - t_diff
                 if t < 0 or t >= state.num_frames:
                     break
-                entry = mem_bank.get(t)
-                if entry is not None and t != cond_f and idx < P:
-                    ptr_rows[idx] = jnp.asarray(entry[1], jnp.float32)
+                if t in selected:
+                    continue
+                if t in unselected:
+                    row = unselected[t][2]    # CondOutput.ptr
+                else:
+                    e = mem_bank.get(t)
+                    row = e[1] if e is not None else None
+                if row is not None and idx < P:
+                    ptr_rows[idx] = jnp.asarray(row, jnp.float32)
                     pvalid[idx] = True
                     ptpos[idx] = t_diff
                     idx += 1

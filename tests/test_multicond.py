@@ -1,0 +1,205 @@
+"""Multi-conditioning-frame propagation: closest-cond selection feeding the
+fixed-slot memory (sam2_base.py:555-561), unselected-cond fallback into
+r-stride slots and pointer rows (sam2_base.py:592-595, 643-647), and
+cross-object consolidation of partially prompted frames (external-predictor
+preflight semantics)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sam2_video_tpu.eval.predictor import (CondOutput, InferenceState,
+                                           VideoPredictor)
+from sam2_video_tpu.models import sam2 as sam2_mod
+from sam2_video_tpu.models.sam2 import SAM2Config
+
+
+@pytest.fixture(scope="module")
+def pred2():
+    cfg = SAM2Config(image_size=128, compute_dtype="float32",
+                     use_activation_checkpoint=False)
+    params = sam2_mod.init(jax.random.PRNGKey(0), cfg)
+    return VideoPredictor(params, cfg, max_objects=2, max_cond_frames=2)
+
+
+def _tagged_conds(pred, frames):
+    O, HW = pred.max_objects, pred.cfg.num_spatial_tokens
+    out = {}
+    for t in frames:
+        mem = jnp.full((O, HW, pred.cfg.mem_dim), 100.0 + t, jnp.float32)
+        ptr = np.full((O, pred.cfg.d_model), 100.0 + t, np.float32)
+        out[t] = CondOutput(None, mem, ptr, None)
+    return out
+
+
+def _tagged_bank(pred, frames):
+    O, HW = pred.max_objects, pred.cfg.num_spatial_tokens
+    return {t: (jnp.full((O, HW, pred.cfg.mem_dim), float(t + 1)),
+                np.full((O, pred.cfg.d_model), float(t + 1), np.float32))
+            for t in frames}
+
+
+def test_assemble_two_cond_slots(pred2):
+    """Both cond frames selected; the r-stride slot that lands on a SELECTED
+    cond frame is skipped (it already attends at t_pos=0)."""
+    cfg = pred2.cfg
+    M = cfg.num_maskmem
+    state = InferenceState(num_frames=30, orig_hw=(64, 64), feats=None,
+                           prompts={}, obj_order=["a"], cond_frame_idx=0)
+    conds = _tagged_conds(pred2, [0, 8])
+    bank = _tagged_bank(pred2, [t for t in range(1, 13) if t != 8])
+    sm, sv, tpos, ptrs, pv, pt, tdm = pred2._assemble_memory(
+        state, bank, conds, frame_idx=13, reverse=False)
+    sm = np.asarray(sm)[:, 0, 0, 0]
+    sv, tpos = np.asarray(sv), np.asarray(tpos)
+    # 2 cond slots + M-1 recent slots, all cond at tpos index M-1 (order
+    # within the t_pos=0 group is irrelevant: same temporal embedding)
+    assert len(sm) == 2 + (M - 1)
+    assert set(sm[:2]) == {108.0, 100.0}
+    assert sv[:2].all()
+    np.testing.assert_array_equal(tpos[:2], [M - 1, M - 1])
+    # r=1 recent picks for frame 13: 7,8,9,10,11,12 -> slot for frame 8 is
+    # INVALID (selected cond), others tagged t+1
+    np.testing.assert_array_equal(sm[2:] * sv[2:], [8, 0, 10, 11, 12, 13])
+    assert not sv[2 + 1]
+    np.testing.assert_array_equal(tpos[2:], np.arange(M - 2, -1, -1))
+    # pointers: both cond frames (both past), then past non-cond frames;
+    # each cond pointer pairs with its signed temporal distance
+    ptag = np.asarray(ptrs)[:, 0, 0]
+    pv, pt = np.asarray(pv), np.asarray(pt)
+    assert pv[0] and pv[1]
+    assert {(g, d) for g, d in zip(ptag[:2], pt[:2])} == \
+        {(108.0, 5.0), (100.0, 13.0)}
+    # t_diff 1..15 skipping selected cond 8 and missing 0: frames 12..9,7..1
+    want = [13, 12, 11, 10, 8, 7, 6, 5, 4, 3, 2]  # tags t+1
+    np.testing.assert_array_equal(ptag[2:2 + len(want)], want)
+    np.testing.assert_array_equal(pt[2:2 + len(want)],
+                                  [1, 2, 3, 4, 6, 7, 8, 9, 10, 11, 12])
+    assert not pv[2 + len(want):].any()
+
+
+def test_assemble_unselected_cond_fallback(pred2):
+    """An unselected cond frame fills the r-stride slot and pointer row it
+    lands on, like a non-cond frame (sam2_base.py:592-595, 643-647)."""
+    state = InferenceState(num_frames=30, orig_hw=(64, 64), feats=None,
+                           prompts={}, obj_order=["a"], cond_frame_idx=0)
+    conds = _tagged_conds(pred2, [0, 6, 9])   # budget 2 -> selects {9, 6}
+    bank = _tagged_bank(pred2, [t for t in range(1, 13) if t not in (6, 9)])
+    sm, sv, tpos, ptrs, pv, pt, tdm = pred2._assemble_memory(
+        state, bank, conds, frame_idx=13, reverse=False)
+    sm = np.asarray(sm)[:, 0, 0, 0]
+    sv = np.asarray(sv)
+    np.testing.assert_array_equal(sm[:2], [109.0, 106.0])
+    # recent picks 7..12: 9 is selected (invalid); everything else valid
+    np.testing.assert_array_equal(sv[2:], [True, True, False, True, True,
+                                           True])
+    # pointer rows: selected conds 9, 6 then t_diff walk where frame 0
+    # (unselected cond, t_diff=13) contributes its pointer tag 100
+    ptag = np.asarray(ptrs)[:, 0, 0]
+    pt = np.asarray(pt)
+    np.testing.assert_array_equal(ptag[:2], [109.0, 106.0])
+    k = np.nonzero(pt == 13.0)[0]
+    assert len(k) == 1 and ptag[k[0]] == 100.0
+
+
+def test_propagate_two_cond_frames(pred2, rng):
+    """End-to-end: prompts on two frames; cond frames yield stored outputs,
+    later frames attend to both cond memories (output differs from a
+    single-cond run)."""
+    T, H, W = 7, 64, 64
+    frames = (rng.random((T, H, W, 3)) * 255).astype(np.uint8)
+    mask = np.zeros((H, W), np.uint8)
+    mask[20:40, 20:40] = 1
+    mask2 = np.zeros((H, W), np.uint8)
+    mask2[10:50, 30:60] = 1
+
+    state = pred2.init_state(frames)
+    pred2.add_new_mask(state, 0, obj_id=1, mask=mask)
+    pred2.add_new_mask(state, 0, obj_id=2, mask=mask2)
+    pred2.add_new_mask(state, 3, obj_id=1, mask=mask)
+    pred2.add_new_mask(state, 3, obj_id=2, mask=mask2)
+    got = {fi: lg for fi, ids, lg, _ in pred2.propagate_in_video(state)}
+    assert sorted(got) == list(range(T))
+    assert set(state.cond_outputs) == {0, 3}
+    assert set(state.mem_bank) == {1, 2, 4, 5, 6}
+
+    state1 = pred2.init_state(frames)
+    pred2.add_new_mask(state1, 0, obj_id=1, mask=mask)
+    pred2.add_new_mask(state1, 0, obj_id=2, mask=mask2)
+    got1 = {fi: lg for fi, ids, lg, _ in pred2.propagate_in_video(state1)}
+    # frame 1: same memory set (cond 0 only in both runs' slot selection at
+    # that point? no — the second cond frame 3 is in the FUTURE and its
+    # pointer is excluded past-only, but its memory slot at t_pos=0 attends)
+    # => frames after 3 must certainly differ
+    assert not np.allclose(got[4], got1[4])
+    # the shared cond frame yields identical stored outputs
+    np.testing.assert_array_equal(got[0], got1[0])
+
+
+def test_partial_coverage_consolidation(pred2, rng):
+    """Objects prompted on different frames: the unprompted object's row at
+    each cond frame is a NO_OBJ placeholder (logits -1024) unless the frame
+    was tracked before consolidation."""
+    T, H, W = 6, 64, 64
+    frames = (rng.random((T, H, W, 3)) * 255).astype(np.uint8)
+    mask = np.zeros((H, W), np.uint8)
+    mask[20:40, 20:40] = 1
+
+    state = pred2.init_state(frames)
+    pred2.add_new_mask(state, 0, obj_id="A", mask=mask)
+    pred2.add_new_points_or_box(state, 2, obj_id="B",
+                                points=[[30, 30]], labels=[1])
+    got = {fi: lg for fi, ids, lg, _ in pred2.propagate_in_video(state)}
+    assert sorted(got) == list(range(T))
+    # frame 0: B never prompted/tracked there -> NO_OBJ row
+    assert got[0].shape[0] == 2
+    assert float(got[0][1].max()) <= -100.0
+    # A's row at frame 0 is its real prompt output (positive in the box)
+    S = pred2.cfg.image_size
+    assert float(got[0][0, 0, S // 3, S // 3]) > 0.0
+    # frame 2: A unprompted -> NO_OBJ at preflight (not yet tracked), B real
+    assert float(got[2][0].max()) <= -100.0
+    assert np.isfinite(np.asarray(got[3], np.float32)).all()
+
+
+def test_interactive_reprompt_uses_tracked_rows(pred2, rng):
+    """Prompting a new frame AFTER tracking consolidates the other object's
+    row from its tracked output instead of NO_OBJ."""
+    T, H, W = 6, 64, 64
+    frames = (rng.random((T, H, W, 3)) * 255).astype(np.uint8)
+    mask = np.zeros((H, W), np.uint8)
+    mask[20:40, 20:40] = 1
+
+    state = pred2.init_state(frames)
+    pred2.add_new_mask(state, 0, obj_id="A", mask=mask)
+    pred2.add_new_mask(state, 0, obj_id="B", mask=mask)
+    first = {fi: lg for fi, ids, lg, _ in pred2.propagate_in_video(state)}
+    # correction: re-prompt B (existing object) on tracked frame 3
+    pred2.add_new_points_or_box(state, 3, obj_id="B",
+                                points=[[30, 30]], labels=[1])
+    assert 3 not in state.cond_outputs and 0 in state.cond_outputs
+    second = {fi: lg for fi, ids, lg, _ in pred2.propagate_in_video(state)}
+    assert 3 not in state.mem_bank and 3 in state.cond_outputs
+    # A's row at the new cond frame comes from its tracked output: close to
+    # the first pass's frame-3 logits for A (upsample(lowres f16) vs packed
+    # high-res of the same step)
+    np.testing.assert_allclose(np.asarray(second[3][0], np.float32),
+                               np.asarray(first[3][0], np.float32),
+                               atol=0.25, rtol=0.05)
+    # ...and NOT a NO_OBJ placeholder
+    assert float(second[3][0].max()) > -100.0
+
+
+def test_single_cond_budget_guard(rng):
+    cfg = SAM2Config(image_size=128, compute_dtype="float32",
+                     use_activation_checkpoint=False)
+    params = sam2_mod.init(jax.random.PRNGKey(0), cfg)
+    pred = VideoPredictor(params, cfg, max_objects=2)  # max_cond_frames=1
+    frames = (rng.random((3, 64, 64, 3)) * 255).astype(np.uint8)
+    state = pred.init_state(frames)
+    pred.add_new_points_or_box(state, 0, 1, points=[[10, 10]], labels=[1])
+    pred.add_new_points_or_box(state, 2, 1, points=[[12, 12]], labels=[1])
+    with pytest.raises(ValueError, match="max_cond_frames"):
+        next(pred.propagate_in_video(state))

@@ -35,8 +35,10 @@ def _fake_bank(pred, frames, T):
 
 def _slot_frames(pred, state, bank, cond_mem, cond_ptr, frame_idx, cond_f,
                  reverse=False):
+    from sam2_video_tpu.eval.predictor import CondOutput
+    conds = {cond_f: CondOutput(None, cond_mem, cond_ptr, None)}
     sm, sv, tpos, ptrs, pv, pt, tdm = pred._assemble_memory(
-        state, bank, cond_mem, cond_ptr, frame_idx, cond_f, reverse)
+        state, bank, conds, frame_idx, reverse)
     sm = np.asarray(sm)[:, 0, 0, 0]  # tag per slot
     sv = np.asarray(sv)
     return sm, sv, np.asarray(tpos), np.asarray(ptrs)[:, 0, 0], np.asarray(pv), np.asarray(pt), tdm
@@ -186,7 +188,9 @@ def test_forward_pass_sees_reverse_pass_memories(pred, rng):
     rev = {fi: lg for fi, _, lg, _ in
            pred.propagate_in_video(state, reverse=True)}
     assert sorted(rev) == [0, 1, 2, 3]
-    assert set(state.mem_bank) == {0, 1, 2, 3}
+    # conditioning frame lives in cond_outputs, tracked frames in mem_bank
+    assert set(state.mem_bank) == {0, 1, 2}
+    assert set(state.cond_outputs) == {3}
     fwd_shared = {fi: lg for fi, _, lg, _ in pred.propagate_in_video(state)}
 
     # fresh-state forward only (no reverse memories available)
@@ -198,6 +202,14 @@ def test_forward_pass_sees_reverse_pass_memories(pred, rng):
     # so its logits must differ; the cond frame itself is identical
     np.testing.assert_array_equal(fwd_shared[3], fwd_fresh[3])
     assert not np.allclose(fwd_shared[4], fwd_fresh[4])
-    # re-prompting resets the persisted state
+    # re-prompting an EXISTING object invalidates only the prompted frame's
+    # conditioning output (external-predictor semantics: other cond frames
+    # + tracked outputs are reused; the frame's tracked output is consumed
+    # by consolidation at the next propagate)
     pred.add_new_mask(state, 0, obj_id=1, mask=mask)
-    assert state.mem_bank is None and state.cond_cache is None
+    assert 0 not in state.cond_outputs
+    assert 3 in state.cond_outputs and 1 in state.mem_bank
+    # a NEW object invalidates everything (its rows in earlier outputs
+    # would be garbage)
+    pred.add_new_mask(state, 0, obj_id=2, mask=mask)
+    assert state.mem_bank is None and state.cond_outputs is None
