@@ -46,6 +46,11 @@ class InferenceConfig:
     grid_spacing: int | None = None
     max_objects: int = 8
     seed: int = 0
+    # >1 tracks that many same-shape clips in lockstep per device step
+    # (BatchedVideoPredictor) — ~Gx fewer device round trips on RTT-bound
+    # links; clips that don't fit a full group fall back to the sequential
+    # path with identical outputs
+    batch_videos: int = 1
 
 
 _NORMALIZE_PROMPT = {"point": "points", "box": "bbox", "mask": "mask",
@@ -309,13 +314,140 @@ class InferenceRunner:
                 frames, clip_prompts, clip_range, probs_out_dir))
         return video_segments
 
+    # -- grouped (lockstep-batched) processing --------------------------------
+
+    def _collect_clip_jobs(self):
+        """Phase 1 of grouped eval: run every video's clip scheduler +
+        prompt extraction on host (same order/semantics as process_video,
+        including the per-video obj_count reset) and return the flat job
+        list."""
+        prompt_type = _NORMALIZE_PROMPT[self.cfg.prompt_type]
+        jobs = []
+        for video_id in self.coco.video_ids:
+            self.obj_count = 0
+            frames = self.coco.frames_of(video_id)
+            if self.cfg.variable_cats:
+                gen = self._merge_prompts(
+                    self._prompts_by_categories(frames, prompt_type),
+                    self._prompts_by_clip_length(frames, prompt_type,
+                                                 self.cfg.clip_length))
+            else:
+                gen = self._prompts_by_clip_length(frames, prompt_type,
+                                                   self.cfg.clip_length)
+            for clip_prompts, clip_range in gen:
+                self.prompt_info.extend(clip_prompts)
+                jobs.append((video_id, frames, clip_prompts, clip_range))
+        return jobs
+
+    def _job_group_key(self, job):
+        """Clips batch together iff they share length, resolution, and the
+        prompt frame's relative index (lockstep schedule); multi-prompt-frame
+        clips are ineligible."""
+        video_id, frames, clip_prompts, cr = job
+        if len(clip_prompts) != 1:
+            return None
+        n_objs = len(clip_prompts[0].prompt_objs)
+        if not 0 < n_objs <= self.cfg.max_objects:
+            return None
+        f0 = frames[0]
+        return (cr.end_idx - cr.start_idx + 1,
+                clip_prompts[0].frame_idx - cr.start_idx,
+                f0["height"], f0["width"])
+
+    def _process_group(self, jobs, all_segments, probs_out_dir):
+        """Run one full lockstep group through the BatchedVideoPredictor."""
+        from .predictor import logits_to_orig
+        G = len(jobs)
+        if getattr(self, "_batched_pred", None) is None or \
+                self._batched_pred.group_size != G:
+            from .batched_predictor import BatchedVideoPredictor
+            self._batched_pred = BatchedVideoPredictor(
+                self.predictor.params, self.predictor.cfg,
+                max_objects=self.cfg.max_objects, group_size=G)
+        clip_frames_g, pixels = [], []
+        for video_id, frames, clip_prompts, cr in jobs:
+            cf = frames[cr.start_idx: cr.end_idx + 1]
+            clip_frames_g.append(cf)
+            pixels.append(self._load_frames(cf))
+        state = self._batched_pred.init_group(np.stack(pixels))
+        for g, (video_id, frames, clip_prompts, cr) in enumerate(jobs):
+            info = clip_prompts[0]
+            rel = info.frame_idx - cr.start_idx
+            for obj in info.prompt_objs:
+                if self.noise is not None:
+                    obj = self.noise.add_noise_to_obj(obj, info.prompt_type)
+                    if obj is None:
+                        continue
+                if info.prompt_type == "points":
+                    self._batched_pred.add_new_points_or_box(
+                        state, g, rel, obj.obj_id, points=obj.points,
+                        labels=obj.pos_or_neg_label)
+                elif info.prompt_type == "bbox":
+                    self._batched_pred.add_new_points_or_box(
+                        state, g, rel, obj.obj_id, box=obj.bbox)
+                else:
+                    self._batched_pred.add_new_mask(state, g, rel,
+                                                    obj.obj_id, obj.mask)
+
+        def run(reverse):
+            for rel_idx, obj_ids, logits, score in \
+                    self._batched_pred.propagate_in_group(state,
+                                                          reverse=reverse):
+                for g, (video_id, frames, clip_prompts, cr) in \
+                        enumerate(jobs):
+                    n = len(obj_ids[g])
+                    order_key = rel_idx + cr.start_idx
+                    want_probs = probs_out_dir is not None
+                    mask, probs = logits_to_orig(logits[g, :n],
+                                                 state.orig_hw,
+                                                 want_probs=want_probs)
+                    if want_probs:
+                        self._maybe_write_probs(
+                            probs_out_dir, clip_frames_g[g][rel_idx],
+                            obj_ids[g], probs)
+                    all_segments.setdefault(video_id, {})[order_key] = {
+                        oid: {"mask": mask[i], "score": float(score[g, i])}
+                        for i, oid in enumerate(obj_ids[g])}
+
+        run(reverse=True)
+        run(reverse=False)
+
+    def _run_grouped(self, probs_out_dir):
+        jobs = self._collect_clip_jobs()
+        groups: dict = {}
+        leftovers = []
+        for job in jobs:
+            key = self._job_group_key(job)
+            if key is None:
+                leftovers.append(job)
+            else:
+                groups.setdefault(key, []).append(job)
+        all_segments: dict = {}
+        G = self.cfg.batch_videos
+        for key, members in groups.items():
+            for i in range(0, len(members), G):
+                chunk = members[i: i + G]
+                if len(chunk) == G:
+                    self._process_group(chunk, all_segments, probs_out_dir)
+                else:
+                    leftovers.extend(chunk)
+        for video_id, frames, clip_prompts, cr in leftovers:
+            all_segments.setdefault(video_id, {}).update(
+                self._process_clip(frames, clip_prompts, cr, probs_out_dir))
+        for video_id in self.coco.video_ids:
+            all_segments.setdefault(video_id, {})
+        return all_segments
+
     def run(self, save_video_list=None, probs_out_dir=None):
         if probs_out_dir is not None and not Path(probs_out_dir).is_absolute():
             probs_out_dir = self.eval_dir / probs_out_dir
         all_segments = {}
-        for video_id in self.coco.video_ids:
-            all_segments[video_id] = self.process_video(video_id,
-                                                        probs_out_dir)
+        if self.cfg.batch_videos > 1:
+            all_segments = self._run_grouped(probs_out_dir)
+        else:
+            for video_id in self.coco.video_ids:
+                all_segments[video_id] = self.process_video(video_id,
+                                                            probs_out_dir)
         predict_path, prompt_path = self.save_as_coco_format(
             all_segments, save_video_list)
         if probs_out_dir is not None:
@@ -364,7 +496,7 @@ def inference(params, sam2_cfg: SAM2Config, coco_path, run_dir,
               noised_prompt=False, noise_intensity=0.1,
               bbox_noise_type="shift_scale", num_neg_points=0,
               grid_spacing=None, probs_out_dir=None, max_objects=8,
-              image_root=None, seed=0):
+              image_root=None, seed=0, batch_videos=1):
     """Top-level entry mirroring reference inference() (:919-1084)."""
     cfg = InferenceConfig(
         prompt_type=prompt_type, clip_length=clip_length,
@@ -372,7 +504,7 @@ def inference(params, sam2_cfg: SAM2Config, coco_path, run_dir,
         num_neg_points=num_neg_points, include_center=include_center,
         noised_prompt=noised_prompt, noise_intensity=noise_intensity,
         bbox_noise_type=bbox_noise_type, grid_spacing=grid_spacing,
-        max_objects=max_objects, seed=seed)
+        max_objects=max_objects, seed=seed, batch_videos=batch_videos)
     eval_dir = Path(run_dir) / "eval"
     runner = InferenceRunner(params, sam2_cfg, cfg, coco_path, eval_dir,
                              image_root=image_root)

@@ -224,7 +224,8 @@ def main(argv=None):
             grid_spacing=cfg.eval.get("grid_spacing"),
             probs_out_dir=cfg.eval.get("probs_out_dir"),
             max_objects=int(cfg.model.get("max_objects", 8)),
-            image_root=cfg.data.get("image_root"), seed=seed)
+            image_root=cfg.data.get("image_root"), seed=seed,
+            batch_videos=int(cfg.eval.get("batch_videos", 1)))
         eval_result = evaluate(predict_path, cfg.eval.coco_path,
                                run_dir / "eval")
         avg = eval_result["avg_scores"]
