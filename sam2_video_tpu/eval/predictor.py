@@ -101,6 +101,9 @@ class CondOutput(NamedTuple):
     mem: object             # [O, HW, mem_dim] encoded memory
     ptr: object             # [O, C] object pointers
     score: object           # [O, 1] object score logits
+    was_tracked: bool = False   # frame had a tracked output before it was
+                                # prompted (reference obj_frames_tracked):
+                                # further clicks keep refining it
 
 
 class TrackedOutput(NamedTuple):
@@ -246,6 +249,35 @@ class VideoPredictor:
                     out["low_res_masks"].astype(jnp.float16),
                     out["object_score_logits"], packed, score)
 
+        @partial(jax.jit, static_argnums=(13,))
+        def correction_step(params, s0, s1, s16, spatial_mem, spatial_valid,
+                            tpos_index, obj_ptrs, ptr_valid, ptr_tpos,
+                            t_diff_max, point_coords, point_labels, multimask,
+                            prev_logits, mem_pos):
+            """Correction clicks on an already-tracked frame (the external
+            predictor's is_init_cond_frame=False path, sam2_base.py:810-837):
+            memory-conditioned features + the new clicks + the frame's
+            previous low-res mask logits as a dense prompt."""
+            curr = jnp.broadcast_to(s16.reshape(1, HW, C), (O, HW, C))
+            fused = sam2_mod.fuse_memory(
+                params, cfg, layout, curr, self._curr_pos, spatial_mem,
+                spatial_valid, mem_pos, tpos_index, obj_ptrs, ptr_valid,
+                ptr_tpos, training=False, t_diff_max=t_diff_max)
+            fused = fused.reshape(O, F, F, C)
+            hr = (jnp.broadcast_to(s0[None], (O,) + s0.shape),
+                  jnp.broadcast_to(s1[None], (O,) + s1.shape))
+            out = sam2_mod.forward_sam_heads(
+                params, cfg, fused, point_coords=point_coords,
+                point_labels=point_labels, mask_inputs=prev_logits,
+                high_res_features=hr, multimask_output=multimask,
+                training=False)
+            feats = jnp.broadcast_to(s16[None], (O,) + s16.shape)
+            mem, mem_pos_out = sam2_mod.encode_new_memory(
+                params, cfg, feats, out["high_res_masks"],
+                out["object_score_logits"], training=False,
+                apply_non_overlap=cfg.non_overlap_masks_for_mem_enc)
+            return out, mem.reshape(O, HW, cfg.mem_dim), mem_pos_out
+
         @jax.jit
         def consolidate_mem(params, s16, lowres, score_logits):
             """Re-encode one conditioning frame's memory from cross-object
@@ -284,6 +316,7 @@ class VideoPredictor:
         self._prompt_step = prompt_step
         self._mask_prompt_step = mask_prompt_step
         self._track_step = track_step
+        self._correction_step = correction_step
         self._consolidate_mem = consolidate_mem
         self._score_and_pack = score_and_pack
         self._upsample_pack = upsample_pack
@@ -364,18 +397,34 @@ class VideoPredictor:
             # re-prompting an existing object only invalidates the prompted
             # frame's conditioning output (external-predictor semantics:
             # other conditioning frames and tracked outputs are reused — a
-            # tracked output at this frame is consumed by consolidation)
+            # tracked output at this frame is consumed by consolidation).
+            # A once-tracked frame stays "tracked" across repeated clicks
+            # (reference obj_frames_tracked): restash the popped output so
+            # the next click refines it instead of re-initializing
             if state.cond_outputs is not None:
-                state.cond_outputs.pop(frame_idx, None)
+                popped = state.cond_outputs.pop(frame_idx, None)
+                if popped is not None and popped.was_tracked and \
+                        frame_idx not in state.mem_bank:
+                    state.mem_bank[frame_idx] = TrackedOutput(
+                        mem=popped.mem, ptr=popped.ptr,
+                        lowres=popped.lowres, score=popped.score)
         state.prompts.setdefault(frame_idx, {})[obj_id] = payload
         state.cond_frame_idx = frame_idx
 
     # -- conditioning steps --------------------------------------------------
 
-    def _run_cond_frame(self, state: InferenceState, f: int):
+    def _run_cond_frame(self, state: InferenceState, f: int,
+                        tracked: TrackedOutput | None = None):
         """Run the prompt step(s) for the objects prompted at frame ``f``.
         Rows of objects without a prompt at ``f`` contain padding-prompt
-        outputs and are overridden by consolidation."""
+        outputs and are overridden by consolidation.
+
+        ``tracked`` is the frame's previous tracked output, if any: point
+        prompts then run the is_init_cond_frame=False correction path
+        (memory-conditioned + previous logits as dense prompt) instead of
+        prompting from scratch; mask prompts use the mask-as-output bypass
+        either way (sam2_base.py:799-809 applies before memory
+        conditioning)."""
         cfg = self.cfg
         O = self.max_objects
         s0, s1, s16 = (x[f] for x in state.feats)
@@ -404,14 +453,28 @@ class VideoPredictor:
                 _, pts, lbl = at_f[state.obj_order[i]]
                 coords[i, : len(pts)] = pts
                 labels[i, : len(pts)] = lbl
-            # multimask gating parity (sam2_base.py:932-940): initial cond
-            # frame + click count within [min, max]; the flag is per-step
-            # (objects share it — the runner always prompts equal counts)
+            # multimask gating parity (sam2_base.py:932-940); the flag is
+            # per-step (objects share it — the runner prompts equal counts)
             from ..models.video_model import _use_multimask
-            results.append((point_objs, self._prompt_step(
-                self.params, s0, s1, s16, jnp.asarray(coords),
-                jnp.asarray(labels), jnp.asarray(obj_valid),
-                _use_multimask(cfg, True, maxp))))
+            if tracked is not None and tracked.lowres is not None:
+                # correction click on a tracked frame: memory-conditioned
+                # features, clicks, and the frame's previous low-res logits
+                # (clamped like the reference's prev_sam_mask_logits)
+                sm, sv, tpos, ptrs, pv, pt, tdm = self._assemble_memory(
+                    state, state.mem_bank, state.cond_outputs, f,
+                    reverse=False)
+                prev = jnp.clip(tracked.lowres.astype(jnp.float32),
+                                -32.0, 32.0)
+                results.append((point_objs, self._correction_step(
+                    self.params, s0, s1, s16, sm, sv, tpos, ptrs, pv, pt,
+                    self._dev_const(np.float32(tdm)), jnp.asarray(coords),
+                    jnp.asarray(labels), _use_multimask(cfg, False, maxp),
+                    jnp.moveaxis(prev, 1, -1), self._mem_pos_flat)))
+            else:
+                results.append((point_objs, self._prompt_step(
+                    self.params, s0, s1, s16, jnp.asarray(coords),
+                    jnp.asarray(labels), jnp.asarray(obj_valid),
+                    _use_multimask(cfg, True, maxp))))
 
         if len(results) == 1:
             return results[0][1]
@@ -460,9 +523,9 @@ class VideoPredictor:
             if f in state.cond_outputs:
                 continue
             # the frame moves from non-cond to cond; its tracked output (if
-            # any) feeds unprompted rows of the consolidation below
+            # any) feeds the correction path and unprompted rows below
             tracked = state.mem_bank.pop(f, None)
-            out, mem, mem_pos = self._run_cond_frame(state, f)
+            out, mem, mem_pos = self._run_cond_frame(state, f, tracked)
             if self._mem_pos_flat is None:
                 self._mem_pos_flat = mem_pos.reshape(-1, self.cfg.mem_dim)
             prompted = np.zeros((O,), bool)
@@ -474,7 +537,8 @@ class VideoPredictor:
                 # matching the training path)
                 state.cond_outputs[f] = CondOutput(
                     lowres=out["low_res_masks"], mem=mem,
-                    ptr=out["obj_ptr"], score=out["object_score_logits"])
+                    ptr=out["obj_ptr"], score=out["object_score_logits"],
+                    was_tracked=tracked is not None)
                 continue
             # partial coverage: fill unprompted rows from tracked outputs if
             # this frame was tracked before, else NO_OBJ placeholders
@@ -496,7 +560,8 @@ class VideoPredictor:
             s16 = state.feats[2][f]
             cmem = self._consolidate_mem(self.params, s16, lowres, score)
             state.cond_outputs[f] = CondOutput(
-                lowres=lowres, mem=cmem, ptr=ptr, score=score)
+                lowres=lowres, mem=cmem, ptr=ptr, score=score,
+                was_tracked=tracked is not None)
 
     # -- propagation --------------------------------------------------------
 

@@ -192,6 +192,40 @@ def test_interactive_reprompt_uses_tracked_rows(pred2, rng):
     assert float(second[3][0].max()) > -100.0
 
 
+def test_correction_click_is_memory_conditioned(pred2, rng):
+    """A point prompt on an already-TRACKED frame runs the reference's
+    is_init_cond_frame=False path (memory-conditioned features + previous
+    low-res logits as dense prompt, sam2_base.py:810-837) — its output must
+    differ from prompting the same click from scratch on a fresh state."""
+    T, H, W = 6, 64, 64
+    frames = (rng.random((T, H, W, 3)) * 255).astype(np.uint8)
+    mask = np.zeros((H, W), np.uint8)
+    mask[20:40, 20:40] = 1
+
+    state = pred2.init_state(frames)
+    pred2.add_new_mask(state, 0, obj_id="A", mask=mask)
+    first = {fi: lg for fi, ids, lg, _ in pred2.propagate_in_video(state)}
+    assert 3 in state.mem_bank
+    pred2.add_new_points_or_box(state, 3, obj_id="A",
+                                points=[[30, 30]], labels=[1])
+    corrected = {fi: lg for fi, ids, lg, _ in
+                 pred2.propagate_in_video(state)}
+    assert 3 in state.cond_outputs
+
+    fresh = pred2.init_state(frames)
+    pred2.add_new_points_or_box(fresh, 3, obj_id="A",
+                                points=[[30, 30]], labels=[1])
+    scratch = {fi: lg for fi, ids, lg, _ in
+               pred2.propagate_in_video(fresh)}
+
+    a = np.asarray(corrected[3][0], np.float32)
+    b = np.asarray(scratch[3][0], np.float32)
+    assert np.isfinite(a).all()
+    # memory conditioning + prev-logit dense prompt => different from the
+    # from-scratch (is_init) prompt output
+    assert not np.allclose(a, b, atol=1e-3)
+
+
 def test_single_cond_budget_guard(rng):
     cfg = SAM2Config(image_size=128, compute_dtype="float32",
                      use_activation_checkpoint=False)
