@@ -164,7 +164,7 @@ class BatchedVideoPredictor:
                 self.params, cfg, feats, out["high_res_masks"],
                 out["object_score_logits"], training=False,
                 apply_non_overlap=cfg.non_overlap_masks_for_mem_enc)
-            return (out["high_res_masks"], out["obj_ptr"],
+            return (out["low_res_masks"], out["obj_ptr"],
                     mem.reshape(O, HW, cfg.mem_dim))
 
         @partial(jax.jit, static_argnums=(10, 11))
@@ -178,35 +178,34 @@ class BatchedVideoPredictor:
                          tpos_index=tpos_index, ptr_valid=ptr_valid,
                          ptr_tpos=ptr_tpos, t_diff_max=t_diff_max,
                          mem_pos=mem_pos)
-            hires, ptr, mem = jax.vmap(fn)(s0, s1, s16, spatial_mem,
-                                           obj_ptrs)
-            packed, score = _pack(hires, orig_hw, n_obj)
+            lowres, ptr, mem = jax.vmap(fn)(s0, s1, s16, spatial_mem,
+                                            obj_ptrs)
+            packed, score = _pack(lowres, orig_hw, n_obj)
             return ptr, mem, packed, score
 
-        def _pack(hires, orig_hw, n_obj):
-            """[G, O, 1, S, S] -> f16 logits [G, n_obj, 1, S, S] + the
+        def _pack(lowres, orig_hw, n_obj):
+            """[G, O, 1, S/4, S/4] low-res logits -> f16 [G, n_obj, ...] +
             exact-parity score (mean sigmoid over the orig-res upsample),
-            fetched for the whole group in one transfer."""
-            sel = hires[:, :n_obj]
+            fetched for the whole group in one transfer. Low-res is the
+            external predictor's stored mask resolution — fetching it keeps
+            the group payload 16x smaller than model-res logits, which is
+            what makes batching win on bandwidth-bound links."""
+            sel = lowres[:, :n_obj].astype(jnp.float32)
             up = resize_bilinear(sel.reshape((-1,) + sel.shape[2:]), orig_hw)
             score = jnp.mean(jax.nn.sigmoid(up), axis=(1, 2, 3))
             return (sel.astype(jnp.float16),
-                    score.reshape(hires.shape[0], n_obj))
+                    score.reshape(lowres.shape[0], n_obj))
 
         @partial(jax.jit, static_argnums=(1, 2))
-        def upsample_pack(lowres, orig_hw, n_obj):
-            """Conditioning-frame yield: upsample the stored low-res logits
-            to model resolution first (external-predictor output semantics,
-            same as the sequential predictor)."""
-            lr = lowres.astype(jnp.float32)
-            hr = resize_bilinear(lr.reshape((-1,) + lr.shape[2:]), (S, S))
-            return _pack(hr.reshape(lr.shape[:3] + (S, S)), orig_hw, n_obj)
+        def lowres_pack(lowres, orig_hw, n_obj):
+            """Conditioning-frame yield (same packing as tracked frames)."""
+            return _pack(lowres, orig_hw, n_obj)
 
         self._encode = encode
         self._prompt_step = prompt_step
         self._mask_prompt_step = mask_prompt_step
         self._track_step = track_step
-        self._upsample_pack = upsample_pack
+        self._lowres_pack = lowres_pack
         self._curr_pos = _posenc()
         self._layout = layout
 
@@ -351,10 +350,11 @@ class BatchedVideoPredictor:
 
     def propagate_in_group(self, state: GroupState, reverse: bool = False
                            ) -> Iterator[tuple]:
-        """Yields (frame_idx, obj_ids [G lists], logits [G, n_max, 1, S, S]
-        f16 numpy, score [G, n_max]) — one fused device step and ONE fetch
-        per lockstep frame for the whole group. Rows past a video's real
-        object count are padding; slice per video with len(obj_ids[g]).
+        """Yields (frame_idx, obj_ids [G lists], logits
+        [G, n_max, 1, S/4, S/4] f16 numpy, score [G, n_max]) — one fused
+        device step and ONE low-res fetch per lockstep frame for the whole
+        group. Rows past a video's real object count are padding; slice per
+        video with len(obj_ids[g]).
 
         Conditioning outputs and memory bank persist across calls, matching
         the sequential predictor (reverse-then-forward shares memories)."""
@@ -374,7 +374,7 @@ class BatchedVideoPredictor:
 
         def dispatch(t):
             if t == f:
-                return self._upsample_pack(lowres, state.orig_hw, n_max)
+                return self._lowres_pack(lowres, state.orig_hw, n_max)
             sm, ptrs, sv, tpos, pv, pt, tdm = self._assemble_memory(
                 state, mem_bank, cond_mem, cond_ptr, t, f, reverse)
             s0, s1, s16 = (x[:, t] for x in state.feats)

@@ -74,7 +74,8 @@ def _resize_frame(frame: np.ndarray, size: int) -> np.ndarray:
 
 def logits_to_orig(logits: np.ndarray, orig_hw, want_probs: bool = False):
     """Host-side original-resolution reconstruction from model-resolution
-    logits [n, 1, S, S]: bilinear upsample then threshold at 0 (the external
+    logits [n, 1, h', w'] (any model resolution — the predictor yields S/4
+    low-res): bilinear upsample then threshold at 0 (the external
     predictor's semantics). Returns (mask bool [n, 1, h, w], probs f16 or
     None)."""
     h, w = orig_hw
@@ -244,7 +245,7 @@ class VideoPredictor:
                 params, cfg, feats, out["high_res_masks"],
                 out["object_score_logits"], training=False,
                 apply_non_overlap=cfg.non_overlap_masks_for_mem_enc)
-            packed, score = _pack(out["high_res_masks"], orig_hw, n_obj)
+            packed, score = _pack(out["low_res_masks"], orig_hw, n_obj)
             return (out["obj_ptr"], mem.reshape(O, HW, cfg.mem_dim),
                     out["low_res_masks"].astype(jnp.float16),
                     out["object_score_logits"], packed, score)
@@ -291,26 +292,26 @@ class VideoPredictor:
                 apply_non_overlap=cfg.non_overlap_masks_for_mem_enc)
             return mem.reshape(O, HW, cfg.mem_dim)
 
-        def _pack(logits, orig_hw, n_obj):
-            """[O, 1, S, S] logits -> (low-res f16 logits sliced to the real
-            objects for the cheap device->host fetch, exact-parity score =
-            mean sigmoid over the original-resolution upsample)."""
-            up = resize_bilinear(logits[:n_obj], orig_hw)
+        def _pack(lowres, orig_hw, n_obj):
+            """[O, 1, S/4, S/4] low-res mask logits -> (f16 logits sliced to
+            the real objects for the device->host fetch, exact-parity score
+            = mean sigmoid over the original-resolution upsample).
+
+            The fetch payload is the external predictor's stored resolution
+            (S/4): it upsamples low-res masks DIRECTLY to the video
+            resolution for output, and at 384px+ the 16x-smaller transfer is
+            what keeps tunnel-attached propagation fast."""
+            sel = lowres[:n_obj].astype(jnp.float32)
+            up = resize_bilinear(sel, orig_hw)
             score = jnp.mean(jax.nn.sigmoid(up), axis=(1, 2, 3))
-            return logits[:n_obj].astype(jnp.float16), score
+            return sel.astype(jnp.float16), score
 
         @partial(jax.jit, static_argnums=(1, 2))
-        def score_and_pack(logits, orig_hw, n_obj):
-            return _pack(logits, orig_hw, n_obj)
-
-        @partial(jax.jit, static_argnums=(1, 2))
-        def upsample_pack(lowres, orig_hw, n_obj):
-            """Conditioning-frame output path: the external predictor stores
-            low-res logits and upsamples for output, so cond-frame yields are
-            upsample(low_res) (identical to the head's native high-res for
-            point prompts; sub-pixel different for mask-bypass prompts)."""
-            hr = resize_bilinear(lowres.astype(jnp.float32), (S, S))
-            return _pack(hr, orig_hw, n_obj)
+        def lowres_pack(lowres, orig_hw, n_obj):
+            """Conditioning-frame output path (same packing as tracked
+            frames — the external predictor stores low-res logits for every
+            frame kind)."""
+            return _pack(lowres, orig_hw, n_obj)
 
         self._encode = encode
         self._prompt_step = prompt_step
@@ -318,8 +319,7 @@ class VideoPredictor:
         self._track_step = track_step
         self._correction_step = correction_step
         self._consolidate_mem = consolidate_mem
-        self._score_and_pack = score_and_pack
-        self._upsample_pack = upsample_pack
+        self._lowres_pack = lowres_pack
         self._curr_pos = _posenc()
         self._layout = layout
 
@@ -569,11 +569,13 @@ class VideoPredictor:
                            reverse: bool = False,
                            start_frame_idx: int | None = None
                            ) -> Iterator[tuple]:
-        """Yields (frame_idx, obj_ids, logits [n_obj, 1, S, S] f16 numpy,
-        score [n_obj]). Only model-resolution logits cross the device->host
-        link; use ``logits_to_orig`` to get original-resolution masks/probs
-        on host (the external predictor returns orig-res logits — same
-        information, resampled host-side for tunnel-bandwidth reasons).
+        """Yields (frame_idx, obj_ids, logits [n_obj, 1, S/4, S/4] f16
+        numpy, score [n_obj]). Only the external predictor's STORED mask
+        resolution (low-res, S/4) crosses the device->host link — it
+        upsamples low-res logits directly to video resolution for output,
+        and the 16x-smaller payload is what keeps tunnel-attached
+        propagation transfer-light; use ``logits_to_orig`` to get
+        original-resolution masks/probs on host.
 
         Conditioning outputs and the memory bank PERSIST across propagate
         calls (external-predictor parity: the forward pass attends to
@@ -598,7 +600,7 @@ class VideoPredictor:
             """Launch frame t's fused device step; returns device futures."""
             co = cond_outputs.get(t)
             if co is not None:
-                return self._upsample_pack(co.lowres, state.orig_hw, n_obj)
+                return self._lowres_pack(co.lowres, state.orig_hw, n_obj)
             sm, sv, tpos, ptrs, pv, pt, tdm = self._assemble_memory(
                 state, mem_bank, cond_outputs, t, reverse)
             s0, s1, s16 = (x[t] for x in state.feats)

@@ -122,7 +122,9 @@ def test_end_to_end_propagate_bidirectional(pred, rng):
     for fi, ids, logits, score in pred.propagate_in_video(state,
                                                           reverse=True):
         assert ids == [7, 13]
-        assert logits.shape == (2, 1, S, S)
+        # low-res (S/4) is the external predictor's stored mask resolution;
+        # it upsamples directly to video resolution for output
+        assert logits.shape == (2, 1, S // 4, S // 4)
         assert logits.dtype == np.float16
         mask, probs = logits_to_orig(logits, state.orig_hw, want_probs=True)
         assert mask.shape == (2, 1, H, W)

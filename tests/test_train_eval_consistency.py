@@ -50,13 +50,21 @@ def test_scan_matches_predictor(rng):
                                    labels=labels[o])
     eval_logits = {}
     for fi, ids, logits, score in pred.propagate_in_video(state):
-        eval_logits[fi] = logits  # [O, 1, S, S] f16
+        eval_logits[fi] = logits  # [O, 1, S/4, S/4] f16 (stored resolution)
 
+    from sam2_video_tpu.ops.resize import resize_bilinear
     for t in range(T):
-        got = np.asarray(eval_logits[t], np.float32)
+        # the train path's high_res IS resize(low_res); upsampling the
+        # predictor's low-res yield with the same op must reproduce it
+        got = np.asarray(resize_bilinear(
+            jnp.asarray(eval_logits[t], jnp.float32), (H, H)))
         want = train_logits[t]
         # f16 packing quantizes the eval side; compare at f16 resolution
         np.testing.assert_allclose(got, want, atol=0.05, rtol=0.02,
                                    err_msg=f"frame {t}")
-        np.testing.assert_array_equal(got > 0, want > 0,
-                                      err_msg=f"frame {t} mask")
+        # binarized masks may differ ONLY where the logit is ~0 (f16
+        # quantization of the low-res fetch flips near-zero boundary
+        # pixels after upsampling)
+        flipped = (got > 0) != (want > 0)
+        assert np.abs(want[flipped]).max(initial=0.0) < 0.05, f"frame {t}"
+        assert flipped.mean() < 1e-3, f"frame {t} mask"
