@@ -51,6 +51,9 @@ class InferenceConfig:
     # links; clips that don't fit a full group fall back to the sequential
     # path with identical outputs
     batch_videos: int = 1
+    # conditioning-slot budget of the sequential predictor (compile-time);
+    # raise for clips/interactive flows prompting more than one frame
+    max_cond_frames: int = 1
 
 
 _NORMALIZE_PROMPT = {"point": "points", "box": "bbox", "mask": "mask",
@@ -89,7 +92,8 @@ class InferenceRunner:
         self.eval_dir.mkdir(parents=True, exist_ok=True)
         self.image_root = image_root
         self.predictor = VideoPredictor(params, sam2_cfg,
-                                        max_objects=cfg.max_objects)
+                                        max_objects=cfg.max_objects,
+                                        max_cond_frames=cfg.max_cond_frames)
         self.obj_count = 0
         self.prompt_info: list[PromptInfo] = []
         self.rng = np.random.default_rng(cfg.seed)
@@ -496,7 +500,7 @@ def inference(params, sam2_cfg: SAM2Config, coco_path, run_dir,
               noised_prompt=False, noise_intensity=0.1,
               bbox_noise_type="shift_scale", num_neg_points=0,
               grid_spacing=None, probs_out_dir=None, max_objects=8,
-              image_root=None, seed=0, batch_videos=1):
+              image_root=None, seed=0, batch_videos=1, max_cond_frames=1):
     """Top-level entry mirroring reference inference() (:919-1084)."""
     cfg = InferenceConfig(
         prompt_type=prompt_type, clip_length=clip_length,
@@ -504,7 +508,8 @@ def inference(params, sam2_cfg: SAM2Config, coco_path, run_dir,
         num_neg_points=num_neg_points, include_center=include_center,
         noised_prompt=noised_prompt, noise_intensity=noise_intensity,
         bbox_noise_type=bbox_noise_type, grid_spacing=grid_spacing,
-        max_objects=max_objects, seed=seed, batch_videos=batch_videos)
+        max_objects=max_objects, seed=seed, batch_videos=batch_videos,
+        max_cond_frames=max_cond_frames)
     eval_dir = Path(run_dir) / "eval"
     runner = InferenceRunner(params, sam2_cfg, cfg, coco_path, eval_dir,
                              image_root=image_root)
