@@ -56,7 +56,8 @@ def test_batched_inference_end_to_end(setup, tmp_path):
     run_dir = tmp_path / "run_batched"
     predict_path, prompt_path = inference(
         params, cfg, json_path, run_dir, prompt_type="points",
-        clip_length=3, num_points=1, max_objects=4, batch_videos=2)
+        clip_length=3, num_points=1, max_objects=4, batch_videos=2,
+        probs_out_dir="probs")
     preds = json.loads(Path(predict_path).read_text())
     assert isinstance(preds, list)
     assert Path(prompt_path).exists()
@@ -70,6 +71,12 @@ def test_batched_inference_end_to_end(setup, tmp_path):
     gt = json.loads(Path(json_path).read_text())
     vids = {im["video_id"] for im in gt["images"] if im["id"] in covered}
     assert len(vids) == 2
+    # probability dumps flow through the grouped path too (orig-res f16)
+    npzs = list((run_dir / "eval" / "probs").glob("*.npz"))
+    assert npzs
+    data = np.load(npzs[0])
+    assert data["probs"].dtype == np.float16
+    assert data["probs"].shape[-2:] == (96, 128)
 
 
 def test_odd_group_falls_back_sequential(setup, tmp_path):
