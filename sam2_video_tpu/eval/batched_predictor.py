@@ -90,55 +90,59 @@ class BatchedVideoPredictor:
             from ..ops.position_encoding import sine_pe_2d
             return sine_pe_2d(F, F, C).reshape(HW, C)
 
-        def _one_point_prompt(s0, s1, s16, coords, labels, multimask):
+        def _one_point_prompt(params, s0, s1, s16, coords, labels,
+                              multimask):
             feats = jnp.broadcast_to(s16[None], (O,) + s16.shape)
             hr = (jnp.broadcast_to(s0[None], (O,) + s0.shape),
                   jnp.broadcast_to(s1[None], (O,) + s1.shape))
-            pix = feats + self.params["no_mem_embed"].reshape(
+            pix = feats + params["no_mem_embed"].reshape(
                 1, 1, 1, C).astype(feats.dtype)
             out = sam2_mod.forward_sam_heads(
-                self.params, cfg, pix, point_coords=coords,
+                params, cfg, pix, point_coords=coords,
                 point_labels=labels, high_res_features=hr,
                 multimask_output=multimask, training=False)
             mem, mem_pos = sam2_mod.encode_new_memory(
-                self.params, cfg, feats, out["high_res_masks"],
+                params, cfg, feats, out["high_res_masks"],
                 out["object_score_logits"], training=False,
                 apply_non_overlap=cfg.non_overlap_masks_for_mem_enc)
             return (out["low_res_masks"], out["obj_ptr"],
                     mem.reshape(O, HW, cfg.mem_dim), mem_pos)
 
-        @partial(jax.jit, static_argnums=(5,))
-        def prompt_step(s0, s1, s16, coords, labels, multimask):
+        @partial(jax.jit, static_argnums=(6,))
+        def prompt_step(params, s0, s1, s16, coords, labels, multimask):
             """coords [G, O, P, 2], labels [G, O, P] -> per-video prompt
-            outputs (hires [G,O,1,S,S], ptr [G,O,C], mem [G,O,HW,md])."""
-            fn = partial(_one_point_prompt, multimask=multimask)
+            outputs (lowres [G,O,1,S/4,S/4], ptr [G,O,C], mem [G,O,HW,md]).
+            params is a jit ARGUMENT (not a closure): restored checkpoints
+            arrive as host numpy and must be traced, not captured."""
+            fn = partial(_one_point_prompt, params, multimask=multimask)
             return jax.vmap(fn)(s0, s1, s16, coords, labels)
 
-        def _one_mask_prompt(s0, s1, s16, masks):
+        def _one_mask_prompt(params, s0, s1, s16, masks):
             feats = jnp.broadcast_to(s16[None], (O,) + s16.shape)
             hr = (jnp.broadcast_to(s0[None], (O,) + s0.shape),
                   jnp.broadcast_to(s1[None], (O,) + s1.shape))
             if cfg.use_mask_input_as_output_without_sam:
                 out = sam2_mod.use_mask_as_output(
-                    self.params, cfg, feats, hr, masks[..., None],
+                    params, cfg, feats, hr, masks[..., None],
                     training=False)
             else:
-                pix = feats + self.params["no_mem_embed"].reshape(
+                pix = feats + params["no_mem_embed"].reshape(
                     1, 1, 1, C).astype(feats.dtype)
                 out = sam2_mod.forward_sam_heads(
-                    self.params, cfg, pix, mask_inputs=masks[..., None],
+                    params, cfg, pix, mask_inputs=masks[..., None],
                     high_res_features=hr, training=False)
             mem, mem_pos = sam2_mod.encode_new_memory(
-                self.params, cfg, feats, out["high_res_masks"],
+                params, cfg, feats, out["high_res_masks"],
                 out["object_score_logits"], training=False,
                 apply_non_overlap=cfg.non_overlap_masks_for_mem_enc)
             return (out["low_res_masks"], out["obj_ptr"],
                     mem.reshape(O, HW, cfg.mem_dim), mem_pos)
 
         @jax.jit
-        def mask_prompt_step(s0, s1, s16, masks):
+        def mask_prompt_step(params, s0, s1, s16, masks):
             """masks [G, O, S, S] -> per-video prompt outputs."""
-            return jax.vmap(_one_mask_prompt)(s0, s1, s16, masks)
+            return jax.vmap(partial(_one_mask_prompt, params))(
+                s0, s1, s16, masks)
 
         M = cfg.num_maskmem
         P = cfg.max_obj_ptrs_in_encoder if cfg.use_obj_ptrs_in_encoder else 0
@@ -146,35 +150,37 @@ class BatchedVideoPredictor:
             num_maskmem=M, tokens_per_slot=HW, num_ptrs=P,
             tokens_per_ptr=cfg.ptr_tokens_per_obj)
 
-        def _one_track(s0, s1, s16, spatial_mem, obj_ptrs, spatial_valid,
-                       tpos_index, ptr_valid, ptr_tpos, t_diff_max, mem_pos):
+        def _one_track(params, s0, s1, s16, spatial_mem, obj_ptrs,
+                       spatial_valid, tpos_index, ptr_valid, ptr_tpos,
+                       t_diff_max, mem_pos):
             curr = jnp.broadcast_to(s16.reshape(1, HW, C), (O, HW, C))
             fused = sam2_mod.fuse_memory(
-                self.params, cfg, layout, curr, self._curr_pos, spatial_mem,
+                params, cfg, layout, curr, self._curr_pos, spatial_mem,
                 spatial_valid, mem_pos, tpos_index, obj_ptrs, ptr_valid,
                 ptr_tpos, training=False, t_diff_max=t_diff_max)
             fused = fused.reshape(O, F, F, C)
             hr = (jnp.broadcast_to(s0[None], (O,) + s0.shape),
                   jnp.broadcast_to(s1[None], (O,) + s1.shape))
             out = sam2_mod.forward_sam_heads(
-                self.params, cfg, fused, high_res_features=hr,
+                params, cfg, fused, high_res_features=hr,
                 multimask_output=False, training=False)
             feats = jnp.broadcast_to(s16[None], (O,) + s16.shape)
             mem, _ = sam2_mod.encode_new_memory(
-                self.params, cfg, feats, out["high_res_masks"],
+                params, cfg, feats, out["high_res_masks"],
                 out["object_score_logits"], training=False,
                 apply_non_overlap=cfg.non_overlap_masks_for_mem_enc)
             return (out["low_res_masks"], out["obj_ptr"],
                     mem.reshape(O, HW, cfg.mem_dim))
 
-        @partial(jax.jit, static_argnums=(10, 11))
-        def track_step(s0, s1, s16, spatial_mem, obj_ptrs, spatial_valid,
-                       tpos_index, ptr_valid, ptr_tpos, t_diff_max,
-                       orig_hw, n_obj, mem_pos):
+        @partial(jax.jit, static_argnums=(11, 12))
+        def track_step(params, s0, s1, s16, spatial_mem, obj_ptrs,
+                       spatial_valid, tpos_index, ptr_valid, ptr_tpos,
+                       t_diff_max, orig_hw, n_obj, mem_pos):
             """spatial_mem [G, M, O, HW, md], obj_ptrs [G, P, O, C]; the
             validity/tpos vectors are SHARED across the group (lockstep
             schedule => identical slot selection)."""
-            fn = partial(_one_track, spatial_valid=spatial_valid,
+            fn = partial(_one_track, params,
+                         spatial_valid=spatial_valid,
                          tpos_index=tpos_index, ptr_valid=ptr_valid,
                          ptr_tpos=ptr_tpos, t_diff_max=t_diff_max,
                          mem_pos=mem_pos)
@@ -321,7 +327,7 @@ class BatchedVideoPredictor:
                     if has_mask[g, i]:
                         masks[g, i] = state.prompts[g][o][1]
             results.append((has_mask, self._mask_prompt_step(
-                s0, s1, s16, jnp.asarray(masks))))
+                self.params, s0, s1, s16, jnp.asarray(masks))))
         if has_pts.any():
             coords = np.zeros((G, O, maxp, 2), np.float32)
             labels = -np.ones((G, O, maxp), np.int32)
@@ -332,8 +338,8 @@ class BatchedVideoPredictor:
                         coords[g, i, : len(pts)] = pts
                         labels[g, i, : len(pts)] = lbl
             results.append((has_pts, self._prompt_step(
-                s0, s1, s16, jnp.asarray(coords), jnp.asarray(labels),
-                _use_multimask(cfg, True, maxp))))
+                self.params, s0, s1, s16, jnp.asarray(coords),
+                jnp.asarray(labels), _use_multimask(cfg, True, maxp))))
 
         if len(results) == 1:
             return results[0][1]
@@ -379,7 +385,7 @@ class BatchedVideoPredictor:
                 state, mem_bank, cond_mem, cond_ptr, t, f, reverse)
             s0, s1, s16 = (x[:, t] for x in state.feats)
             new_ptr, new_mem, packed, score = self._track_step(
-                s0, s1, s16, sm, ptrs, sv, tpos, pv, pt,
+                self.params, s0, s1, s16, sm, ptrs, sv, tpos, pv, pt,
                 self._dev_const(np.float32(tdm)), state.orig_hw, n_max,
                 mem_pos_flat)
             mem_bank[t] = (new_mem, new_ptr)
