@@ -16,6 +16,10 @@ from sam2_video_tpu.ops.position_encoding import axial_rope_table
 
 
 def t(x):
+    """numpy/jax array -> torch f32; passes torch tensors (e.g. an
+    autograd-tracked param tree, test_torch_parity_full.py) through."""
+    if x is None or isinstance(x, torch.Tensor):
+        return x
     return torch.from_numpy(np.asarray(x, np.float32))
 
 
