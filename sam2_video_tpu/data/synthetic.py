@@ -1,7 +1,9 @@
 """Synthetic COCO-style video dataset generator — moving colored blobs with
-per-category RLE annotations. Used by tests, the end-to-end pipeline test
-(the reference's eval_pipeline_test strategy, SURVEY.md §4.3), and bench.py
-(real image files on disk exercise the full host pipeline)."""
+per-category RLE annotations, written as real image files + COCO json on
+disk. Used by tests and the end-to-end pipeline test (the reference's
+eval_pipeline_test strategy, SURVEY.md §4.3). Note bench.py does NOT use
+this: it times the pure device step on a pre-staged in-memory batch (the
+host input pipeline is measured separately in tests/test_data_pipeline.py)."""
 
 from __future__ import annotations
 

@@ -2,11 +2,13 @@
 
 ``sdpa`` is the XLA path: a fused-by-XLA softmax(QK^T)V with f32 accumulation
 on the MXU (parity with torch F.scaled_dot_product_attention, reference
-transformer.py:243,306 and hieradet.py:70-74). For the shapes in this stack
-(windowed Hiera: 49–196-token windows; memory attention: 576 queries × ≤4.2k
-keys) XLA already tiles these onto the MXU well; the Pallas flash kernel in
-``ops/flash_attention.py`` is used for the large-sequence global-attention
-blocks and memory cross-attention on real TPUs (see ops/__init__.py gate).
+transformer.py:243,306 and hieradet.py:70-74). Kernel coverage in this stack:
+the Hiera windowed/global attention and the SAM two-way decoder use ``sdpa``
+(small windows of 49-196 tokens / <=600-token sequences that XLA already
+tiles onto the MXU well — measured MFU in docs/DESIGN.md); the long-sequence
+memory CROSS-attention (576-2304 queries x up to ~7.2k keys) routes through
+the Pallas flash kernel in ``ops/flash_attention.py`` on real TPUs
+(memory_attention.py `use_flash`).
 """
 
 from __future__ import annotations

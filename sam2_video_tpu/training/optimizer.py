@@ -1,9 +1,9 @@
 """Optimizer / schedule / module-freezing (the configure_optimizers
 equivalent, reference trainer.py:118-177 + sam2model.py:567-575).
 
-- AdamW/Adam via optax with the reference's hyperparameters (note: the
-  reference sometimes sets ``amsgrad: true``; optax's adamw has no amsgrad —
-  documented divergence, negligible for fine-tuning).
+- AdamW/Adam via optax with the reference's hyperparameters, including
+  ``amsgrad: true`` (configs/best.yaml:83) via the ``scale_by_amsgrad``
+  transform below (optax has no built-in; torch-parity tested).
 - Cosine-with-warmup schedule reproducing transformers'
   ``get_cosine_schedule_with_warmup`` arithmetic exactly.
 - Freezing: ``optax.multi_transform`` labels each top-level module frozen or
@@ -68,6 +68,47 @@ def trainable_labels(params, trainable_modules: Sequence[str]):
     }
 
 
+def scale_by_amsgrad(b1: float = 0.9, b2: float = 0.999,
+                     eps: float = 1e-8) -> optax.GradientTransformation:
+    """AMSGrad variant of scale_by_adam: the second moment used in the
+    denominator is the running elementwise MAX of the EMA (torch
+    optim.Adam(amsgrad=True) semantics, incl. bias correction):
+
+        nu_max <- max(nu_max, nu);  update = (mu/bc1) / (sqrt(nu_max/bc2)+eps)
+
+    Reference knob: configs/best.yaml:83 ``amsgrad: true``.
+    """
+    import chex
+
+    @chex.dataclass
+    class State:
+        count: jnp.ndarray
+        mu: object
+        nu: object
+        nu_max: object
+
+    def init_fn(params):
+        z = lambda: jax.tree.map(jnp.zeros_like, params)
+        return State(count=jnp.zeros((), jnp.int32), mu=z(), nu=z(),
+                     nu_max=z())
+
+    def update_fn(updates, state, params=None):
+        del params
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g,
+                          state.mu, updates)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * (g * g),
+                          state.nu, updates)
+        nu_max = jax.tree.map(jnp.maximum, state.nu_max, nu)
+        count = state.count + 1
+        bc1 = 1 - b1 ** count.astype(jnp.float32)
+        bc2 = 1 - b2 ** count.astype(jnp.float32)
+        out = jax.tree.map(
+            lambda m, vm: (m / bc1) / (jnp.sqrt(vm / bc2) + eps), mu, nu_max)
+        return out, State(count=count, mu=mu, nu=nu, nu_max=nu_max)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(params, opt_cfg, sched_cfg, total_steps: int,
                    trainable_modules: Sequence[str],
                    gradient_clip_val: float = 1.0,
@@ -87,16 +128,26 @@ def make_optimizer(params, opt_cfg, sched_cfg, total_steps: int,
         schedule = lr
 
     betas = opt_cfg.get("betas", [0.9, 0.999])
-    if str(opt_cfg.get("type", "AdamW")).lower() == "adamw":
-        inner = optax.adamw(schedule, b1=float(betas[0]), b2=float(betas[1]),
-                            eps=float(opt_cfg.get("eps", 1e-8)),
-                            weight_decay=float(opt_cfg.get("weight_decay", 0.0)))
+    b1, b2 = float(betas[0]), float(betas[1])
+    eps = float(opt_cfg.get("eps", 1e-8))
+    wd = float(opt_cfg.get("weight_decay", 0.0))
+    is_adamw = str(opt_cfg.get("type", "AdamW")).lower() == "adamw"
+    if bool(opt_cfg.get("amsgrad", False)):
+        # torch AdamW(amsgrad=True): decoupled decay + max-second-moment;
+        # plain Adam applies (additive) decay the same way optax.chain does
+        inner = optax.chain(
+            scale_by_amsgrad(b1=b1, b2=b2, eps=eps),
+            optax.add_decayed_weights(wd) if is_adamw else optax.identity(),
+            optax.scale_by_learning_rate(schedule),
+            optax.identity() if is_adamw else
+            optax.add_decayed_weights(-wd))
+    elif is_adamw:
+        inner = optax.adamw(schedule, b1=b1, b2=b2, eps=eps,
+                            weight_decay=wd)
     else:
         inner = optax.chain(
-            optax.adam(schedule, b1=float(betas[0]), b2=float(betas[1]),
-                       eps=float(opt_cfg.get("eps", 1e-8))),
-            optax.add_decayed_weights(
-                -float(opt_cfg.get("weight_decay", 0.0))))
+            optax.adam(schedule, b1=b1, b2=b2, eps=eps),
+            optax.add_decayed_weights(-wd))
 
     tx = optax.chain(
         optax.clip_by_global_norm(float(gradient_clip_val)),

@@ -215,3 +215,69 @@ def test_data_parallel_eval_step_on_cpu_mesh(rng):
     batch = mesh_mod.shard_batch(mesh, make_batch(rng, cfg, B=8))
     metrics = estep(params, batch)
     assert np.isfinite(float(metrics[CORE_LOSS_KEY]))
+
+
+def test_amsgrad_torch_parity():
+    """scale_by_amsgrad + decoupled decay must reproduce
+    torch.optim.AdamW(amsgrad=True) step-for-step (reference
+    configs/best.yaml:83 sets amsgrad: true)."""
+    import torch
+
+    from sam2_video_tpu.training.optimizer import scale_by_amsgrad
+
+    rng = np.random.default_rng(0)
+    p0 = rng.standard_normal((5, 3)).astype(np.float32)
+    grads = [rng.standard_normal((5, 3)).astype(np.float32) * (10.0 ** (i % 3))
+             for i in range(12)]
+    lr, b1, b2, eps, wd = 1e-2, 0.9, 0.99, 1e-8, 0.05
+
+    # torch reference
+    tp = torch.nn.Parameter(torch.tensor(p0))
+    opt = torch.optim.AdamW([tp], lr=lr, betas=(b1, b2), eps=eps,
+                            weight_decay=wd, amsgrad=True)
+    for g in grads:
+        opt.zero_grad()
+        tp.grad = torch.tensor(g)
+        opt.step()
+
+    # ours (the make_optimizer amsgrad chain, constant lr)
+    tx = optax.chain(scale_by_amsgrad(b1=b1, b2=b2, eps=eps),
+                     optax.add_decayed_weights(wd),
+                     optax.scale_by_learning_rate(lr))
+    params = {"w": jnp.asarray(p0)}
+    state = tx.init(params)
+    for g in grads:
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(np.asarray(params["w"]),
+                               tp.detach().numpy(), atol=1e-6)
+
+    # amsgrad must actually differ from plain adam on this trajectory
+    tx2 = optax.adamw(lr, b1=b1, b2=b2, eps=eps, weight_decay=wd)
+    params2 = {"w": jnp.asarray(p0)}
+    state2 = tx2.init(params2)
+    for g in grads:
+        updates, state2 = tx2.update({"w": jnp.asarray(g)}, state2, params2)
+        params2 = optax.apply_updates(params2, updates)
+    assert np.abs(np.asarray(params["w"]) -
+                  np.asarray(params2["w"])).max() > 1e-4
+
+
+def test_make_optimizer_amsgrad_knob(rng):
+    """opt_cfg amsgrad=true builds a working transform that moves trainable
+    params and keeps frozen ones fixed."""
+    cfg = tiny_cfg()
+    params = sam2_mod.init(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(params, {"lr": 1e-3, "type": "AdamW",
+                                 "amsgrad": True, "weight_decay": 0.01},
+                        {"enabled": False}, total_steps=10,
+                        trainable_modules=["memory_attention"])
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    ma_delta = max(float(jnp.abs(x).max())
+                   for x in jax.tree.leaves(updates["memory_attention"]))
+    ie_delta = max(float(jnp.abs(x).max())
+                   for x in jax.tree.leaves(updates["image_encoder"]))
+    assert ma_delta > 0.0 and ie_delta == 0.0

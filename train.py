@@ -43,6 +43,7 @@ def main(argv=None):
     import numpy as np
 
     from sam2_video_tpu.config import load_config, loss_config, model_config
+    from sam2_video_tpu.parallel.mesh import maybe_initialize_distributed
     from sam2_video_tpu.data.coco import COCOIndex
     from sam2_video_tpu.data.pipeline import (ClipDataset, ClipDatasetConfig,
                                               ClipLoader)
@@ -56,12 +57,25 @@ def main(argv=None):
     from sam2_video_tpu.utils.logging import MetricsLogger, setup_file_logging
 
     cfg = load_config(config_name, overrides)
+    # multi-process (multi-host) init MUST precede any backend-initializing
+    # jax call; no-op unless trainer.distributed.enabled or
+    # JAX_COORDINATOR_ADDRESS is set (reference DDP parity, README.md:149-156)
+    distributed = maybe_initialize_distributed(
+        cfg.trainer.get("distributed"))
+    is_main = jax.process_index() == 0
     run_dir = Path("outputs") / time.strftime("%Y-%m-%d/%H-%M-%S")
+    if not is_main:
+        run_dir = run_dir / f"proc{jax.process_index()}"
     run_dir.mkdir(parents=True, exist_ok=True)
     log = setup_file_logging(run_dir, cfg.get("log_level", "INFO"))
     logger = MetricsLogger(run_dir, project=cfg.wandb.get("project"),
-                           name=cfg.wandb.get("name"), config=dict(cfg))
+                           name=cfg.wandb.get("name"), config=dict(cfg),
+                           use_wandb=is_main) if is_main else None
     log.info(f"run dir: {run_dir}")
+    if distributed:
+        log.info(f"distributed: process {jax.process_index()}/"
+                 f"{jax.process_count()}, {jax.local_device_count()} local / "
+                 f"{jax.device_count()} global devices")
 
     seed = int(cfg.get("seed", 42))
     np.random.seed(seed)
@@ -77,12 +91,30 @@ def main(argv=None):
         num_neg_points=int(cfg.model.get("num_neg_points", 0)),
         include_center=bool(cfg.model.get("include_center", True)),
         image_root=cfg.data.get("image_root"))
-    batch_size = int(cfg.data.get("batch_size", 1))
+    batch_size = int(cfg.data.get("batch_size", 1))  # GLOBAL batch
     num_devices = int(cfg.trainer.get("devices", 1))
+    if distributed:
+        num_devices = jax.device_count()  # all devices across all processes
     mesh = None
     if num_devices > 1:
         mesh = mesh_mod.make_mesh(num_data=num_devices)
-        batch_size = max(batch_size, num_devices)
+        if batch_size < num_devices:
+            log.warning(
+                f"data.batch_size={batch_size} < devices={num_devices}: "
+                f"raising the global batch to {num_devices} (1 clip/device) "
+                f"so every device gets a shard. This changes the effective "
+                f"optimization (LR schedule, steps/epoch) vs the configured "
+                f"batch — set data.batch_size explicitly to silence this.")
+            batch_size = num_devices
+    # per-process share of the global batch: each host loads ONLY its shard
+    # (pipeline.py ClipLoader host-sharding + mesh.shard_batch assembles the
+    # global array via make_array_from_process_local_data)
+    n_proc = jax.process_count()
+    if batch_size % max(n_proc, 1) != 0:
+        raise ValueError(
+            f"global batch_size={batch_size} must be divisible by the "
+            f"process count {n_proc}")
+    local_batch = batch_size // max(n_proc, 1)
 
     train_index = COCOIndex(cfg.data.train_path, int(cfg.data.image_size),
                             int(cfg.data.get("num_categories") or 0) or None)
@@ -90,12 +122,16 @@ def main(argv=None):
                           int(cfg.data.get("num_categories") or 0) or None)
     train_ds = ClipDataset(train_index, dcfg)
     val_ds = ClipDataset(val_index, dcfg)
-    train_loader = ClipLoader(train_ds, batch_size=batch_size, shuffle=True,
+    train_loader = ClipLoader(train_ds, batch_size=local_batch, shuffle=True,
                               seed=seed,
-                              num_workers=int(cfg.data.get("num_workers", 2)))
-    val_loader = ClipLoader(val_ds, batch_size=batch_size, shuffle=False,
+                              num_workers=int(cfg.data.get("num_workers", 2)),
+                              process_index=jax.process_index(),
+                              process_count=n_proc)
+    val_loader = ClipLoader(val_ds, batch_size=local_batch, shuffle=False,
                             seed=seed,
-                            num_workers=int(cfg.data.get("num_workers", 2)))
+                            num_workers=int(cfg.data.get("num_workers", 2)),
+                            process_index=jax.process_index(),
+                            process_count=n_proc)
     log.info(f"train clips: {len(train_ds)}, val clips: {len(val_ds)}")
 
     # ---- model ------------------------------------------------------------
@@ -146,7 +182,7 @@ def main(argv=None):
     eval_step = make_eval_step(mcfg, lcfg, mesh=mesh)
 
     checkpointer = None
-    if bool(cfg.trainer.get("enable_checkpointing", True)):
+    if bool(cfg.trainer.get("enable_checkpointing", True)) and is_main:
         checkpointer = Checkpointer(run_dir / "checkpoints",
                                     save_top_k=int(
                                         cfg.trainer.get("save_top_k", 3)))
@@ -198,15 +234,19 @@ def main(argv=None):
         val_check_interval=float(cfg.trainer.get("val_check_interval") or 1.0),
         viz_fn=viz_fn, viz_every_n_steps=viz_every)
     log.info(f"training done; best val loss {result.best_val:.4f}")
-    logger.summary({"best_val_loss": result.best_val})
+    if logger is not None:
+        logger.summary({"best_val_loss": result.best_val})
 
     # ---- post-fit inference + eval (train.py:135-231 parity) --------------
-    if bool(cfg.eval.get("enabled", True)):
+    # main process only: params are fetched to host first so the eval jits
+    # run on local devices (global replicated arrays are not usable in a
+    # single-process computation under multi-process SPMD)
+    if bool(cfg.eval.get("enabled", True)) and is_main:
         from sam2_video_tpu.eval.inference import inference
         from sam2_video_tpu.eval.metrics import evaluate
         from baseline_utils import compute_baseline_deltas
 
-        best_params = result.state.params
+        best_params = jax.device_get(result.state.params)
         if checkpointer is not None and checkpointer.best_path is not None:
             best_params = checkpointer.restore_params()
             log.info(f"reloaded best checkpoint {checkpointer.best_path}")
@@ -238,14 +278,16 @@ def main(argv=None):
         deltas = compute_baseline_deltas(cfg, avg)
         if deltas:
             summary.update(deltas)
-        logger.summary(summary)
+        if logger is not None:
+            logger.summary(summary)
         # metrics.json under eval dir (reference train.py:219-223)
         (run_dir / "eval" / "metrics.json").write_text(
             json.dumps({**summary,
                         "avg_scores": avg,
                         "name": cfg.get("combo", {}).get("name")},
                        indent=2, default=float))
-    logger.close()
+    if logger is not None:
+        logger.close()
     return 0
 
 
