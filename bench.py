@@ -1,25 +1,91 @@
 """Throughput benchmark: EndoVis18-style fine-tuning step (10-frame 384px
-clips, SAM2-hiera-tiny, trainable memory modules) on one chip.
+clips, SAM2-hiera-tiny) on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-
-``vs_baseline`` divides by an *estimated* reference throughput of 2.0
-clips/sec for the PyTorch-Lightning stack on one A100 (the reference repo
-publishes no throughput numbers — SURVEY.md §6; estimate: its per-frame
-Python tracking loop over ~5 objects with per-step host sync
-(trainer.py:186-187 forces torch.cuda.synchronize + empty_cache every
-forward) is launch-bound at roughly 30-60 ms/frame -> ~0.2-0.5 s per
-10-frame clip). The BASELINE.json gate is >=2x A100, i.e. vs_baseline >= 2.
+Prints ONE JSON line with the headline metric plus honesty fields:
+- ``value``/``unit``: clips/sec/chip for the default fine-tune combo
+  (trainable = memory modules, the reference's ``mem`` config) at the
+  measured-optimal batch/remat setting.
+- ``all_trainable_clips_per_sec``: the ``mem+md+pe+ie`` combo (every module
+  trainable -> full backward incl. the Hiera encoder).
+- ``mfu``: achieved FLOP/s / assumed peak, from XLA's own cost analysis of
+  the compiled step (no hand-waving). ``peak_flops_assumed`` names the
+  denominator: 197e12 (TPU v5e bf16) unless TPU_PEAK_FLOPS is set — the
+  tunnel backend does not expose the chip model.
+- ``vs_baseline``: the reference publishes NO throughput numbers anywhere
+  (SURVEY.md §6). The denominator is therefore a DERIVED estimate of the
+  PyTorch stack on one A100, stated here so the ratio is auditable:
+  the reference tracks T=10 frames sequentially in Python (sam2model.py:
+  forward_tracking), forcing torch.cuda.synchronize + empty_cache every
+  forward (trainer.py:186-187); at the commonly observed 30-60 ms/frame
+  launch+sync floor for this model size that is 0.3-0.6 s/clip forward,
+  ~2-3x with backward+optimizer -> ~0.5-1 s/clip, i.e. 1-2 clips/s. We use
+  the favorable end (2.0 clips/s) so vs_baseline is a LOWER bound on the
+  speedup. Treat ``value`` as the ground truth, vs_baseline as context.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
-A100_BASELINE_CLIPS_PER_SEC = 2.0
+A100_BASELINE_CLIPS_PER_SEC = 2.0  # derived estimate — see module docstring
+PEAK_FLOPS = float(os.environ.get("TPU_PEAK_FLOPS", 197e12))  # v5e bf16
+
+
+def _build_step(B, remat, trainable, S=384, T=10, O=8, C=7):
+    import jax
+
+    from sam2_video_tpu.models import VideoModelConfig
+    from sam2_video_tpu.models import sam2 as sam2_mod
+    from sam2_video_tpu.models.sam2 import SAM2Config
+    from sam2_video_tpu.training.loop import TrainState, make_train_step
+    from sam2_video_tpu.training.losses import LossConfig
+    from sam2_video_tpu.training.optimizer import make_optimizer
+    from __graft_entry__ import _example_clip
+
+    cfg = SAM2Config(backbone="tiny", image_size=S, compute_dtype="bfloat16",
+                     use_activation_checkpoint=(remat != "none"),
+                     remat_mode=remat)
+    mcfg = VideoModelConfig(sam2=cfg, prompt_type="point")
+    params = sam2_mod.init(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(params, {"lr": 1e-4, "type": "AdamW"},
+                        {"enabled": False}, total_steps=1000,
+                        trainable_modules=trainable)
+    state = TrainState.create(params, tx)
+    step = make_train_step(mcfg, LossConfig(), tx,
+                           trainable_modules=trainable)
+    batch = _example_clip(S, T=T, O=O, C=C, B=B)
+    return step, state, batch
+
+
+def _measure(step, state, batch, B, n_steps=20):
+    import jax
+
+    # AOT-compile so XLA's cost analysis of the exact executable is available
+    compiled = step.lower(state, batch).compile()
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        flops_per_step = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        flops_per_step = None
+    # warmup (device_get forces completion; block_until_ready returns early
+    # on the tunnel backend)
+    state, metrics = compiled(state, batch)
+    float(jax.device_get(metrics["total_loss"]))
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = compiled(state, batch)
+    float(jax.device_get(metrics["total_loss"]))
+    dt = time.perf_counter() - t0
+    step_s = dt / n_steps
+    cps = B / step_s
+    mfu = (flops_per_step / step_s / PEAK_FLOPS
+           if flops_per_step else None)
+    return cps, step_s, flops_per_step, mfu
 
 
 def main():
@@ -34,52 +100,36 @@ def main():
     except Exception:
         pass
 
-    from sam2_video_tpu.models import VideoModelConfig
-    from sam2_video_tpu.models import sam2 as sam2_mod
-    from sam2_video_tpu.models.sam2 import SAM2Config
-    from sam2_video_tpu.training.loop import TrainState, make_train_step
-    from sam2_video_tpu.training.losses import LossConfig
-    from sam2_video_tpu.training.optimizer import make_optimizer
-    from __graft_entry__ import _example_clip
+    # headline: the default fine-tune combo at the measured optimum
+    # (docs/DESIGN.md §3 B/remat sweep)
+    B, remat = 1, "none"
+    step, state, batch = _build_step(B, remat,
+                                     ["memory_attention", "memory_encoder"])
+    cps, step_s, flops, mfu = _measure(step, state, batch, B)
+    del step, state, batch
 
-    # measured optimum on v5e (see docs/DESIGN.md §3): B=1 without
-    # rematerialization beats B=4 with scan-body remat (7.6 vs 5.3 clips/s) —
-    # the recompute costs more than batching gains; this matches the default
-    # training config (batch_size 1, use_activation_checkpoint false).
-    B, T, O, C, S = 1, 10, 8, 7, 384
-    cfg = SAM2Config(backbone="tiny", image_size=S, compute_dtype="bfloat16",
-                     use_activation_checkpoint=False)
-    mcfg = VideoModelConfig(sam2=cfg, prompt_type="point")
-    params = sam2_mod.init(jax.random.PRNGKey(0), cfg)
-    tx = make_optimizer(params, {"lr": 1e-4, "type": "AdamW"},
-                        {"enabled": False}, total_steps=1000,
-                        trainable_modules=["memory_attention",
-                                           "memory_encoder"])
-    state = TrainState.create(params, tx)
-    step = make_train_step(mcfg, LossConfig(), tx,
-                           trainable_modules=["memory_attention",
-                                              "memory_encoder"])
-    batch = _example_clip(S, T=T, O=O, C=C, B=B)
+    # all-modules-trainable combo (mem+md+pe+ie): full backward incl. Hiera
+    step, state, batch = _build_step(
+        1, "none", ["memory_attention", "memory_encoder", "mask_decoder",
+                    "prompt_encoder", "image_encoder"])
+    cps_all, step_all_s, flops_all, mfu_all = _measure(step, state, batch, 1,
+                                                       n_steps=10)
 
-    # warmup / compile (device_get forces execution; on this TPU tunnel
-    # backend block_until_ready can return before the device finishes)
-    state, metrics = step(state, batch)
-    float(jax.device_get(metrics["total_loss"]))
-
-    n_steps = 20
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, metrics = step(state, batch)
-    float(jax.device_get(metrics["total_loss"]))
-    dt = time.perf_counter() - t0
-
-    clips_per_sec = B * n_steps / dt
     print(json.dumps({
         "metric": "clips/sec/chip (10-frame 384px EndoVis18-style "
-                  "fine-tune step, SAM2-tiny, B=1, bf16)",
-        "value": round(clips_per_sec, 3),
+                  "fine-tune step, SAM2-tiny, trainable=mem, B=1, bf16)",
+        "value": round(cps, 3),
         "unit": "clips/sec/chip",
-        "vs_baseline": round(clips_per_sec / A100_BASELINE_CLIPS_PER_SEC, 3),
+        "vs_baseline": round(cps / A100_BASELINE_CLIPS_PER_SEC, 3),
+        "baseline_note": "denominator is a DERIVED 2.0 clips/s A100 estimate "
+                         "(reference publishes no throughput; see bench.py "
+                         "docstring for the derivation)",
+        "all_trainable_clips_per_sec": round(cps_all, 3),
+        "flops_per_step": flops,
+        "mfu": round(mfu, 4) if mfu is not None else None,
+        "all_trainable_mfu": round(mfu_all, 4) if mfu_all is not None
+        else None,
+        "peak_flops_assumed": PEAK_FLOPS,
     }))
 
 

@@ -104,13 +104,17 @@ class SAM2Config:
     dynamic_multimask_via_stability: bool = True
 
     # training — rematerialization strategy:
-    #   "none":    store all activations (fastest; B=1 at 384px fits HBM)
-    #   "body":    remat the whole scan body (lowest memory; enables B>=4)
-    #   "modules": remat decoder/memattn/memenc individually (the reference's
-    #              torch.utils.checkpoint granularity, sam2_base.py:362-371)
+    #   "none":      store all activations (fastest; B=1 at 384px fits HBM)
+    #   "body":      remat the whole scan body (lowest memory; enables B>=4)
+    #   "body_dots": scan-body remat with the XLA dots-saveable policy —
+    #                matmul/conv outputs are stored, only elementwise work is
+    #                recomputed (near-"none" speed at much lower memory)
+    #   "modules":   remat decoder/memattn/memenc individually (the
+    #                reference's torch.utils.checkpoint granularity,
+    #                sam2_base.py:362-371)
     # use_activation_checkpoint=True maps to "body" unless remat_mode is set.
     use_activation_checkpoint: bool = True
-    remat_mode: str = ""  # "", "none", "body", "modules"
+    remat_mode: str = ""  # "", "none", "body", "body_dots", "modules"
     compute_dtype: str = "bfloat16"  # activations dtype for encoder/attention
 
     def resolved_remat_mode(self) -> str:

@@ -113,12 +113,16 @@ def forward_train(params, mcfg: VideoModelConfig, clip: VideoClip,
     mm_track = _use_multimask(cfg, False, 0)
     # remat strategy: "body" wraps the whole scan body (below) and disables
     # the inner per-module checkpoints (nesting would recompute forwards
-    # twice in backward); "modules" keeps the reference-granularity inner
-    # checkpoints; "none" stores everything (fastest when HBM allows)
+    # twice in backward); "body_dots" is "body" with the
+    # dots_with_no_batch_dims_saveable policy — every matmul/conv output is
+    # SAVED and only cheap elementwise/reshape work is recomputed, trading a
+    # little memory for almost no recompute FLOPs (the MXU work dominates);
+    # "modules" keeps the reference-granularity inner checkpoints; "none"
+    # stores everything (fastest when HBM allows)
     remat_mode = cfg.resolved_remat_mode() if training else "none"
     body_cfg = (dataclasses.replace(cfg, use_activation_checkpoint=False,
                                     remat_mode="none")
-                if remat_mode == "body" else cfg)
+                if remat_mode in ("body", "body_dots") else cfg)
 
     tpos_index = jnp.concatenate([
         jnp.asarray([cfg.num_maskmem - 1]), jnp.arange(R)])  # [M]
@@ -176,6 +180,10 @@ def forward_train(params, mcfg: VideoModelConfig, clip: VideoClip,
     xs = (jnp.arange(1, T), s16[1:], s0[1:], s1[1:])
     if remat_mode == "body":
         body = jax.checkpoint(body)
+    elif remat_mode == "body_dots":
+        body = jax.checkpoint(
+            body,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
     _, ys = jax.lax.scan(body, carry0, xs)
 
     per_obj = jax.tree.map(

@@ -281,3 +281,37 @@ def test_make_optimizer_amsgrad_knob(rng):
     ie_delta = max(float(jnp.abs(x).max())
                    for x in jax.tree.leaves(updates["image_encoder"]))
     assert ma_delta > 0.0 and ie_delta == 0.0
+
+
+@pytest.mark.parametrize("remat", ["body", "body_dots", "modules"])
+def test_remat_modes_match_no_remat(rng, remat):
+    """Every rematerialization mode must reproduce the no-remat loss AND
+    gradients exactly (remat re-runs the same ops; it may never change
+    numerics) — guards the selective-remat policies used for B>1 training."""
+    from functools import partial
+
+    from sam2_video_tpu.models.video_model import forward_train
+    from sam2_video_tpu.training.loop import batched_loss_fn
+    from sam2_video_tpu.models import VideoModelConfig
+
+    batch = make_batch(rng, tiny_cfg(), B=1, T=3)
+
+    def loss_and_grads(remat_mode):
+        cfg = tiny_cfg(use_activation_checkpoint=(remat_mode != "none"),
+                       remat_mode=remat_mode)
+        mcfg = VideoModelConfig(sam2=cfg, prompt_type="point")
+        params = sam2_mod.init(jax.random.PRNGKey(1), cfg)
+        loss_fn = batched_loss_fn(mcfg, LossConfig())
+        (loss, _), grads = jax.jit(jax.value_and_grad(
+            loss_fn, has_aux=True))(params, batch)
+        return jax.device_get(loss), jax.device_get(grads)
+
+    l0, g0 = loss_and_grads("none")
+    l1, g1 = loss_and_grads(remat)
+    np.testing.assert_allclose(l0, l1, rtol=1e-6)
+    for (p0, a), (p1, b) in zip(sorted(_flatten(g0).items()),
+                                sorted(_flatten(g1).items())):
+        assert p0 == p1
+        np.testing.assert_allclose(
+            a, b, atol=1e-5, rtol=1e-4,
+            err_msg=f"grad diverged under remat={remat} at {p0}")
