@@ -7,10 +7,14 @@ Prints ONE JSON line with the headline metric plus honesty fields:
   measured-optimal batch/remat setting.
 - ``all_trainable_clips_per_sec``: the ``mem+md+pe+ie`` combo (every module
   trainable -> full backward incl. the Hiera encoder).
-- ``mfu``: achieved FLOP/s / assumed peak, from XLA's own cost analysis of
-  the compiled step (no hand-waving). ``peak_flops_assumed`` names the
-  denominator: 197e12 (TPU v5e bf16) unless TPU_PEAK_FLOPS is set — the
-  tunnel backend does not expose the chip model.
+- ``mfu``: achieved FLOP/s / assumed peak. The FLOP numerator comes from
+  XLA's cost analysis of the use_flash_attention=False variant of the same
+  step (lowered HLO, no extra device compile): cost analysis does NOT count
+  custom-call (Pallas) FLOPs, so analysing the executed flash program would
+  undercount the memory cross-attention — the model's single largest FLOP
+  block (~2.4 TFLOP/step of the ~3 TFLOP total). ``peak_flops_assumed``
+  names the denominator: 197e12 (TPU v5e bf16) unless TPU_PEAK_FLOPS is
+  set — the tunnel backend does not expose the chip model.
 - ``vs_baseline``: the reference publishes NO throughput numbers anywhere
   (SURVEY.md §6). The denominator is therefore a DERIVED estimate of the
   PyTorch stack on one A100, stated here so the ratio is auditable:
@@ -58,20 +62,30 @@ def _build_step(B, remat, trainable, S=384, T=10, O=8, C=7):
     step = make_train_step(mcfg, LossConfig(), tx,
                            trainable_modules=trainable)
     batch = _example_clip(S, T=T, O=O, C=C, B=B)
-    return step, state, batch
+
+    # FLOP count for MFU: lower (not compile) the XLA-sdpa variant of the
+    # identical step — Pallas custom-call FLOPs are invisible to XLA cost
+    # analysis, the plain-sdpa program contains the same math as countable
+    # dots. Falls back to None if the API shape changes.
+    flops = None
+    try:
+        import dataclasses as _dc
+        cfg_x = _dc.replace(cfg, use_flash_attention=False)
+        mcfg_x = VideoModelConfig(sam2=cfg_x, prompt_type="point")
+        step_x = make_train_step(mcfg_x, LossConfig(), tx,
+                                 trainable_modules=trainable)
+        ca = step_x.lower(state, batch).cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+    return step, state, batch, flops
 
 
-def _measure(step, state, batch, B, n_steps=20):
+def _measure(step, state, batch, B, flops_per_step=None, n_steps=20):
     import jax
 
-    # AOT-compile so XLA's cost analysis of the exact executable is available
     compiled = step.lower(state, batch).compile()
-    try:
-        ca = compiled.cost_analysis()
-        ca = ca[0] if isinstance(ca, list) else ca
-        flops_per_step = float(ca.get("flops", 0.0)) or None
-    except Exception:
-        flops_per_step = None
     # warmup (device_get forces completion; block_until_ready returns early
     # on the tunnel backend)
     state, metrics = compiled(state, batch)
@@ -101,19 +115,19 @@ def main():
         pass
 
     # headline: the default fine-tune combo at the measured optimum
-    # (docs/DESIGN.md §3 B/remat sweep)
+    # (docs/DESIGN.md §3 sweeps: B=1, no remat, flash kernel, full unroll)
     B, remat = 1, "none"
-    step, state, batch = _build_step(B, remat,
-                                     ["memory_attention", "memory_encoder"])
-    cps, step_s, flops, mfu = _measure(step, state, batch, B)
+    step, state, batch, flops0 = _build_step(
+        B, remat, ["memory_attention", "memory_encoder"])
+    cps, step_s, flops, mfu = _measure(step, state, batch, B, flops0)
     del step, state, batch
 
     # all-modules-trainable combo (mem+md+pe+ie): full backward incl. Hiera
-    step, state, batch = _build_step(
+    step, state, batch, flops1 = _build_step(
         1, "none", ["memory_attention", "memory_encoder", "mask_decoder",
                     "prompt_encoder", "image_encoder"])
     cps_all, step_all_s, flops_all, mfu_all = _measure(step, state, batch, 1,
-                                                       n_steps=10)
+                                                       flops1, n_steps=10)
 
     print(json.dumps({
         "metric": "clips/sec/chip (10-frame 384px EndoVis18-style "

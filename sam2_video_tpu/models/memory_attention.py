@@ -22,9 +22,12 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
 from ..ops import common as nn
 from ..ops.attention import merge_heads, sdpa, split_heads
-from ..ops.position_encoding import apply_rope, axial_rope_table
+from ..ops.position_encoding import (apply_rope_half, axial_rope_table_half,
+                                     deinterleave_perm)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -79,36 +82,51 @@ def init(key, cfg: MemoryAttentionConfig):
     }
 
 
-def _self_attn(p, cfg, tgt, query_pos, rope_q):
+def _perm_rows(p, perm):
+    """Fold the de-interleave permutation into a projection's out rows —
+    q·kᵀ is invariant to a shared permutation of q and k features, so the
+    rotated layout costs nothing at apply time (see position_encoding.py)."""
+    out = {"weight": p["weight"][perm]}
+    if "bias" in p:
+        out["bias"] = p["bias"][perm]
+    return out
+
+
+def _self_attn(p, cfg, tgt, query_pos, rope_q, perm):
     """Self-attention with RoPE on both q and k (RoPEAttention, q==k length)."""
     tgt2 = nn.layer_norm(p["norm1"], tgt)
     qk_in = tgt2 + query_pos if cfg.pos_enc_at_attn else tgt2
     ap = p["self_attn"]
-    q = split_heads(nn.linear(ap["q_proj"], qk_in), cfg.num_heads)
-    k = split_heads(nn.linear(ap["k_proj"], qk_in), cfg.num_heads)
+    q = split_heads(nn.linear(_perm_rows(ap["q_proj"], perm), qk_in),
+                    cfg.num_heads)
+    k = split_heads(nn.linear(_perm_rows(ap["k_proj"], perm), qk_in),
+                    cfg.num_heads)
     v = split_heads(nn.linear(ap["v_proj"], tgt2), cfg.num_heads)
     cos, sin = rope_q
-    q = apply_rope(q, cos, sin)
-    k = apply_rope(k, cos, sin)
+    q = apply_rope_half(q, cos, sin)
+    k = apply_rope_half(k, cos, sin)
     out = nn.linear(ap["out_proj"], merge_heads(sdpa(q, k, v)))
     return tgt + out
 
 
 def _cross_attn(p, cfg, tgt, memory, query_pos, pos, rope_q, rope_k,
-                num_spatial_k: int, key_valid):
+                num_spatial_k: int, key_valid, perm):
     """Cross-attention: q gets RoPE; the first ``num_spatial_k`` keys get the
-    tiled RoPE; trailing (object-pointer) keys are left unrotated. Invalid
-    memory slots are removed via an additive key bias; on TPU this runs
-    through the Pallas flash kernel."""
+    tiled RoPE; trailing (object-pointer) keys are left unrotated (they are
+    still feature-permuted by ``perm`` like every key, which q·kᵀ cancels).
+    Invalid memory slots are removed via an additive key bias; on TPU this
+    runs through the Pallas flash kernel."""
     tgt2 = nn.layer_norm(p["norm2"], tgt)
     q_in = tgt2 + query_pos if cfg.pos_enc_at_cross_attn_queries else tgt2
     k_in = memory + pos if cfg.pos_enc_at_cross_attn_keys else memory
     ap = p["cross_attn_image"]
-    q = split_heads(nn.linear(ap["q_proj"], q_in), cfg.num_heads)
-    k = split_heads(nn.linear(ap["k_proj"], k_in), cfg.num_heads)
+    q = split_heads(nn.linear(_perm_rows(ap["q_proj"], perm), q_in),
+                    cfg.num_heads)
+    k = split_heads(nn.linear(_perm_rows(ap["k_proj"], perm), k_in),
+                    cfg.num_heads)
     v = split_heads(nn.linear(ap["v_proj"], memory), cfg.num_heads)
-    q = apply_rope(q, *rope_q)
-    k_spatial = apply_rope(k[..., :num_spatial_k, :], *rope_k)
+    q = apply_rope_half(q, *rope_q)
+    k_spatial = apply_rope_half(k[..., :num_spatial_k, :], *rope_k)
     k = jnp.concatenate([k_spatial, k[..., num_spatial_k:, :]], axis=-2)
     key_bias = None
     if key_valid is not None:
@@ -139,10 +157,11 @@ def apply(p, cfg: MemoryAttentionConfig, curr, memory, curr_pos, memory_pos,
     h, w = feat_hw
     assert h * w == curr.shape[-2]
     head_dim = cfg.d_model // cfg.num_heads
-    rope_q = axial_rope_table(head_dim, w, h, cfg.rope_theta)
+    rope_q = axial_rope_table_half(head_dim, w, h, cfg.rope_theta)
     reps = num_spatial_k // (h * w)
     assert reps * h * w == num_spatial_k
     rope_k = (jnp.tile(rope_q[0], (reps, 1)), jnp.tile(rope_q[1], (reps, 1)))
+    perm = deinterleave_perm(cfg.d_model, cfg.num_heads)
 
     output = curr
     if cfg.pos_enc_at_input and curr_pos is not None:
@@ -151,9 +170,9 @@ def apply(p, cfg: MemoryAttentionConfig, curr, memory, curr_pos, memory_pos,
     act = {"relu": jax.nn.relu, "gelu": nn.gelu}[cfg.activation]
     for i in range(cfg.num_layers):
         lp = p["layers"][str(i)]
-        output = _self_attn(lp, cfg, output, curr_pos, rope_q)
+        output = _self_attn(lp, cfg, output, curr_pos, rope_q, perm)
         output = _cross_attn(lp, cfg, output, memory, curr_pos, memory_pos,
-                             rope_q, rope_k, num_spatial_k, key_valid)
+                             rope_q, rope_k, num_spatial_k, key_valid, perm)
         tgt2 = nn.layer_norm(lp["norm3"], output)
         tgt2 = nn.linear(lp["linear2"], act(nn.linear(lp["linear1"], tgt2)))
         output = output + tgt2

@@ -122,6 +122,12 @@ class SAM2Config:
             return self.remat_mode
         return "body" if self.use_activation_checkpoint else "none"
     use_flash_attention: bool = True  # Pallas kernel for memory cross-attn
+    # lax.scan unroll factor for the frame recurrence (video_model.py).
+    # 0 = fully unroll (the default): XLA schedules across iteration
+    # boundaries, which measured ~20% faster at T=10 (DESIGN.md §3) at the
+    # cost of program size / compile time — set an explicit small factor
+    # for very long training clips if compiles get slow.
+    scan_unroll: int = 0
     # dtype of the ring-buffer memory bank carried through the scan. The
     # reference effectively stores memories in fp16 under autocast; bf16
     # halves carry bandwidth with the same exponent range.

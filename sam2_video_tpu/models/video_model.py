@@ -184,7 +184,9 @@ def forward_train(params, mcfg: VideoModelConfig, clip: VideoClip,
         body = jax.checkpoint(
             body,
             policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
-    _, ys = jax.lax.scan(body, carry0, xs)
+    _, ys = jax.lax.scan(body, carry0, xs,
+                         unroll=(cfg.scan_unroll if cfg.scan_unroll > 0
+                                 else True))
 
     per_obj = jax.tree.map(
         lambda a, b: jnp.concatenate([a[None], b], axis=0),

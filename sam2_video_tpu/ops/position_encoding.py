@@ -142,3 +142,50 @@ def tile_rope_table(cos: jnp.ndarray, sin: jnp.ndarray, repeats: int):
     """rope_k_repeat: tile the per-frame table along the sequence axis so a
     length-(repeats*L) memory sequence gets per-frame-identical rotations."""
     return (jnp.tile(cos, (repeats, 1)), jnp.tile(sin, (repeats, 1)))
+
+
+# --- de-interleaved ("rotate-half") RoPE — the TPU-fast formulation --------
+#
+# ``apply_rope`` above slices stride-2 lanes and re-interleaves with
+# stack+reshape: on TPU that lowers to gathers + layout copies on every
+# [O, Lk, 256] key tensor, per layer, per frame (measured ~600 MB of HBM
+# traffic per scan iteration). The equivalent fast form permutes the pair
+# layout from interleaved (x0,y0,x1,y1,...) to split halves
+# (x0,x1,...,y0,y1,...): the rotation becomes one fused multiply-add with a
+# 128-lane-aligned half swap. The permutation itself is FREE because it is
+# folded into the q/k projection weight rows (``deinterleave_perm``) — a
+# permutation applied to both q and k leaves q·kᵀ unchanged, and v is never
+# rotated, so attention outputs are identical (up to sum order on the MXU).
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def axial_rope_table_half(dim: int, end_x: int, end_y: int,
+                          theta: float = 10000.0):
+    """``axial_rope_table`` in de-interleaved layout: (cos, sin) of shape
+    [L, dim] where position j and j+dim//2 carry the angle of pair j."""
+    cos, sin = axial_rope_table(dim, end_x, end_y, theta)
+    return (jnp.concatenate([cos, cos], axis=-1),
+            jnp.concatenate([sin, sin], axis=-1))
+
+
+def deinterleave_perm(d_model: int, num_heads: int) -> np.ndarray:
+    """Row permutation that moves each head's even feature indices to the
+    first half of the head dim and odd ones to the second half. Apply it to
+    the OUT rows of q_proj/k_proj weights (and biases) so projections emit
+    q/k directly in the ``apply_rope_half`` layout."""
+    dh = d_model // num_heads
+    within = np.concatenate([np.arange(0, dh, 2), np.arange(1, dh, 2)])
+    return (np.arange(num_heads)[:, None] * dh + within[None, :]).reshape(-1)
+
+
+def apply_rope_half(x: jnp.ndarray, cos: jnp.ndarray,
+                    sin: jnp.ndarray) -> jnp.ndarray:
+    """Rotate de-interleaved pairs: x [..., L, D] (D split in halves),
+    cos/sin [L, D]. Computes in x's dtype — under bf16 the products feed
+    bf16 matmuls anyway and the angle range here is tiny (L <= a few
+    thousand), so there is no f32 upcast (and none of its HBM traffic)."""
+    cos = cos.astype(x.dtype)
+    sin = sin.astype(x.dtype)
+    half = x.shape[-1] // 2
+    rot = jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+    return x * cos + rot * sin

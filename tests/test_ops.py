@@ -145,6 +145,35 @@ def test_rope_matches_torch_complex(rng):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_rope_half_matches_interleaved_scores(rng):
+    """The de-interleaved rotate-half RoPE (permutation folded into the q/k
+    projections) must produce identical attention scores to the interleaved
+    torch formulation — q.kT is invariant to a shared feature permutation."""
+    from sam2_video_tpu.ops.position_encoding import (
+        apply_rope_half, axial_rope_table_half, deinterleave_perm)
+
+    dim, heads, ex, ey = 64, 2, 4, 3
+    L = ex * ey
+    dh = dim // heads
+    q = rng.standard_normal((2, heads, L, dh)).astype(np.float32)
+    k = rng.standard_normal((2, heads, L, dh)).astype(np.float32)
+
+    cos, sin = ops.axial_rope_table(dh, ex, ey)
+    want = np.einsum("bhqd,bhkd->bhqk",
+                     np.asarray(ops.apply_rope(jnp.asarray(q), cos, sin)),
+                     np.asarray(ops.apply_rope(jnp.asarray(k), cos, sin)))
+
+    # per-head slice of the d_model-level permutation
+    perm = deinterleave_perm(dim, heads).reshape(heads, dh) % dh
+    c2, s2 = axial_rope_table_half(dh, ex, ey)
+    qp = np.take_along_axis(q, perm[None, :, None, :], axis=-1)
+    kp = np.take_along_axis(k, perm[None, :, None, :], axis=-1)
+    got = np.einsum("bhqd,bhkd->bhqk",
+                    np.asarray(apply_rope_half(jnp.asarray(qp), c2, s2)),
+                    np.asarray(apply_rope_half(jnp.asarray(kp), c2, s2)))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
 def test_rope_tile():
     cos, sin = ops.axial_rope_table(16, 2, 2)
     c2, s2 = ops.tile_rope_table(cos, sin, 3)
