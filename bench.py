@@ -62,24 +62,71 @@ def _build_step(B, remat, trainable, S=384, T=10, O=8, C=7):
     step = make_train_step(mcfg, LossConfig(), tx,
                            trainable_modules=trainable)
     batch = _example_clip(S, T=T, O=O, C=C, B=B)
+    return step, state, batch
 
-    # FLOP count for MFU: lower (not compile) the XLA-sdpa variant of the
-    # identical step — Pallas custom-call FLOPs are invisible to XLA cost
-    # analysis, the plain-sdpa program contains the same math as countable
-    # dots. Falls back to None if the API shape changes.
-    flops = None
+
+def _flops_for(trainable, S=384, T=10):
+    """FLOP count for MFU: lower (never compile) the XLA-sdpa variant of
+    the identical step and read XLA cost analysis — Pallas custom-call FLOPs
+    are invisible to cost analysis, and the plain-sdpa program contains the
+    same math as countable dots. Must run on the CPU backend (see
+    _flops_via_cpu_subprocess): the axon remote backend's cost_analysis()
+    returns None."""
+    import jax
+
+    from sam2_video_tpu.models import VideoModelConfig
+    from sam2_video_tpu.models import sam2 as sam2_mod
+    from sam2_video_tpu.models.sam2 import SAM2Config
+    from sam2_video_tpu.training.loop import TrainState, make_train_step
+    from sam2_video_tpu.training.losses import LossConfig
+    from sam2_video_tpu.training.optimizer import make_optimizer
+    from __graft_entry__ import _example_clip
+
+    cfg = SAM2Config(backbone="tiny", image_size=S, compute_dtype="bfloat16",
+                     use_activation_checkpoint=False,
+                     use_flash_attention=False)
+    mcfg = VideoModelConfig(sam2=cfg, prompt_type="point")
+    params = sam2_mod.init(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(params, {"lr": 1e-4, "type": "AdamW"},
+                        {"enabled": False}, total_steps=1000,
+                        trainable_modules=trainable)
+    state = TrainState.create(params, tx)
+    step = make_train_step(mcfg, LossConfig(), tx,
+                           trainable_modules=trainable)
+    batch = _example_clip(S, T=T, O=8, C=7, B=1)
+    ca = step.lower(state, batch).cost_analysis()
+    ca = ca[0] if isinstance(ca, list) else ca
+    return float(ca.get("flops", 0.0)) or None
+
+
+def _flops_via_cpu_subprocess():
+    """Run ``bench.py --flops-only`` in a CPU subprocess and return
+    {"mem": flops, "all": flops} ({} on failure). The subprocess forces the
+    CPU platform before first jax use, which cannot be done in this process
+    once the axon backend is initialized."""
+    import subprocess
+    import sys
     try:
-        import dataclasses as _dc
-        cfg_x = _dc.replace(cfg, use_flash_attention=False)
-        mcfg_x = VideoModelConfig(sam2=cfg_x, prompt_type="point")
-        step_x = make_train_step(mcfg_x, LossConfig(), tx,
-                                 trainable_modules=trainable)
-        ca = step_x.lower(state, batch).cost_analysis()
-        ca = ca[0] if isinstance(ca, list) else ca
-        flops = float(ca.get("flops", 0.0)) or None
-    except Exception:
-        pass
-    return step, state, batch, flops
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--flops-only"],
+            capture_output=True, text=True, timeout=900,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+    except Exception as e:
+        print(f"bench: CPU flops subprocess failed ({type(e).__name__}: "
+              f"{e}); mfu will be null", file=sys.stderr)
+        return {}
+
+
+def _flops_only_main():
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    print(json.dumps({
+        "mem": _flops_for(["memory_attention", "memory_encoder"]),
+        "all": _flops_for(["memory_attention", "memory_encoder",
+                           "mask_decoder", "prompt_encoder",
+                           "image_encoder"]),
+    }))
 
 
 def _measure(step, state, batch, B, flops_per_step=None, n_steps=20):
@@ -114,20 +161,24 @@ def main():
     except Exception:
         pass
 
+    flops_map = _flops_via_cpu_subprocess()
+
     # headline: the default fine-tune combo at the measured optimum
     # (docs/DESIGN.md §3 sweeps: B=1, no remat, flash kernel, full unroll)
     B, remat = 1, "none"
-    step, state, batch, flops0 = _build_step(
+    step, state, batch = _build_step(
         B, remat, ["memory_attention", "memory_encoder"])
-    cps, step_s, flops, mfu = _measure(step, state, batch, B, flops0)
+    cps, step_s, flops, mfu = _measure(step, state, batch, B,
+                                       flops_map.get("mem"))
     del step, state, batch
 
     # all-modules-trainable combo (mem+md+pe+ie): full backward incl. Hiera
-    step, state, batch, flops1 = _build_step(
+    step, state, batch = _build_step(
         1, "none", ["memory_attention", "memory_encoder", "mask_decoder",
                     "prompt_encoder", "image_encoder"])
     cps_all, step_all_s, flops_all, mfu_all = _measure(step, state, batch, 1,
-                                                       flops1, n_steps=10)
+                                                       flops_map.get("all"),
+                                                       n_steps=10)
 
     print(json.dumps({
         "metric": "clips/sec/chip (10-frame 384px EndoVis18-style "
@@ -148,4 +199,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    if "--flops-only" in sys.argv:
+        _flops_only_main()
+    else:
+        main()

@@ -23,6 +23,7 @@ the sequential path in the runner.
 from __future__ import annotations
 
 import dataclasses
+from collections import deque
 from functools import partial
 from typing import Iterator
 
@@ -65,6 +66,7 @@ class BatchedVideoPredictor:
         self.group_size = group_size
         self.encode_chunk = encode_chunk
         self._const_cache: dict = {}
+        self._zero_cache: dict = {}
         self._mem_pos_flat = None
         self._build_jitted()
 
@@ -172,13 +174,22 @@ class BatchedVideoPredictor:
             return (out["low_res_masks"], out["obj_ptr"],
                     mem.reshape(O, HW, cfg.mem_dim))
 
-        @partial(jax.jit, static_argnums=(11, 12))
-        def track_step(params, s0, s1, s16, spatial_mem, obj_ptrs,
+        @partial(jax.jit, static_argnums=(10, 11))
+        def track_step(params, feats, t, mem_slots, ptr_rows,
                        spatial_valid, tpos_index, ptr_valid, ptr_tpos,
                        t_diff_max, orig_hw, n_obj, mem_pos):
-            """spatial_mem [G, M, O, HW, md], obj_ptrs [G, P, O, C]; the
-            validity/tpos vectors are SHARED across the group (lockstep
-            schedule => identical slot selection)."""
+            """mem_slots: M-tuple of [G, O, HW, md]; ptr_rows: P-tuple of
+            [G, O, C] — stacked HERE, inside jit, and the frame's features
+            are sliced from the full [G, T, ...] arrays by the traced index
+            ``t``, so the per-frame host loop issues exactly one device
+            dispatch (each eager op pays a tunnel RTT on the remote
+            backend). The validity/tpos vectors are SHARED across the group
+            (lockstep schedule => identical slot selection)."""
+            s0, s1, s16 = (jax.lax.dynamic_index_in_dim(x, t, axis=1,
+                                                        keepdims=False)
+                           for x in feats)
+            spatial_mem = jnp.stack(mem_slots, axis=1)
+            obj_ptrs = jnp.stack(ptr_rows, axis=1)
             fn = partial(_one_track, params,
                          spatial_valid=spatial_valid,
                          tpos_index=tpos_index, ptr_valid=ptr_valid,
@@ -240,6 +251,17 @@ class BatchedVideoPredictor:
         return GroupState(group_size=G, num_frames=T, orig_hw=(H, W),
                           feats=feats, prompts=[{} for _ in range(G)],
                           obj_order=[[] for _ in range(G)])
+
+    def _zeros_const(self, shape, dtype=jnp.float32):
+        """Cached device zeros — memory-slot / pointer padding rows are
+        reused every frame, so allocate them once instead of paying an
+        eager-dispatch RTT per propagation step."""
+        key = (shape, jnp.dtype(dtype).str)
+        out = self._zero_cache.get(key)
+        if out is None:
+            out = jnp.zeros(shape, dtype)
+            self._zero_cache[key] = out
+        return out
 
     def _dev_const(self, arr: np.ndarray):
         key = (arr.dtype.str, arr.shape, arr.tobytes())
@@ -381,25 +403,28 @@ class BatchedVideoPredictor:
         def dispatch(t):
             if t == f:
                 return self._lowres_pack(lowres, state.orig_hw, n_max)
-            sm, ptrs, sv, tpos, pv, pt, tdm = self._assemble_memory(
+            slots, ptrs, sv, tpos, pv, pt, tdm = self._assemble_memory(
                 state, mem_bank, cond_mem, cond_ptr, t, f, reverse)
-            s0, s1, s16 = (x[:, t] for x in state.feats)
             new_ptr, new_mem, packed, score = self._track_step(
-                self.params, s0, s1, s16, sm, ptrs, sv, tpos, pv, pt,
-                self._dev_const(np.float32(tdm)), state.orig_hw, n_max,
-                mem_pos_flat)
+                self.params, state.feats, np.int32(t), slots, ptrs, sv,
+                tpos, pv, pt, self._dev_const(np.float32(tdm)),
+                state.orig_hw, n_max, mem_pos_flat)
             mem_bank[t] = (new_mem, new_ptr)
             return packed, score
 
-        pending = None
+        # software pipeline, depth 3: several device steps stay in flight
+        # while the host fetches/reconstructs earlier frames — the memory
+        # bank entries consumed by dispatch are device futures, so queuing
+        # ahead never synchronizes (the only syncs are the yields' fetches)
+        pending: deque = deque()
         for t in frame_order:
-            fut = (t, dispatch(t))
-            if pending is not None:
-                pt_, (pk, sc) = pending
+            pending.append((t, dispatch(t)))
+            if len(pending) > 3:
+                pt_, (pk, sc) = pending.popleft()
                 yield (pt_, obj_ids, np.asarray(pk), np.asarray(sc))
-            pending = fut
-        pt_, (pk, sc) = pending
-        yield (pt_, obj_ids, np.asarray(pk), np.asarray(sc))
+        while pending:
+            pt_, (pk, sc) = pending.popleft()
+            yield (pt_, obj_ids, np.asarray(pk), np.asarray(sc))
 
     def _assemble_memory(self, state, mem_bank, cond_mem, cond_ptr,
                          frame_idx, cond_f, reverse):
@@ -416,7 +441,7 @@ class BatchedVideoPredictor:
 
         slots = [cond_mem]
         valid = [True]
-        zero = None
+        zero = self._zeros_const((G, O, HW, cfg.mem_dim))
         for t_pos in range(1, M):
             t_rel = M - t_pos
             if t_rel == 1:
@@ -428,20 +453,17 @@ class BatchedVideoPredictor:
                     prev = -(-(frame_idx + 2) // r) * r + (t_rel - 2) * r
             entry = mem_bank.get(prev) if prev != cond_f else None
             if entry is None:
-                if zero is None:
-                    zero = jnp.zeros((G, O, HW, cfg.mem_dim), jnp.float32)
                 slots.append(zero)
                 valid.append(False)
             else:
                 slots.append(entry[0])
                 valid.append(True)
         tpos_index = [M - 1] + [M - t_pos - 1 for t_pos in range(1, M)]
-        spatial_mem = jnp.stack(slots, axis=1)  # [G, M, O, HW, md]
         spatial_valid = self._dev_const(np.asarray(valid))
         tpos_idx = self._dev_const(np.asarray(tpos_index, np.int32))
 
         P = self._layout.num_ptrs
-        zero_ptr = jnp.zeros((G, O, cfg.d_model), jnp.float32)
+        zero_ptr = self._zeros_const((G, O, cfg.d_model))
         ptr_rows = [zero_ptr] * P
         pvalid = np.zeros((P,), bool)
         ptpos = np.zeros((P,), np.float32)
@@ -472,6 +494,5 @@ class BatchedVideoPredictor:
             t_diff_max = max(max_ptrs - 1, 1)
         else:
             t_diff_max = 1
-        ptrs = jnp.stack(ptr_rows, axis=1)  # [G, P, O, C]
-        return (spatial_mem, ptrs, spatial_valid, tpos_idx,
+        return (tuple(slots), tuple(ptr_rows), spatial_valid, tpos_idx,
                 self._dev_const(pvalid), self._dev_const(ptpos), t_diff_max)

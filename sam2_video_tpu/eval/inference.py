@@ -470,6 +470,11 @@ class InferenceRunner:
     def save_as_coco_format(self, all_segments, save_video_list=None):
         coco_annotations = []
         videos = save_video_list or self.coco.video_ids
+        unknown = [v for v in videos if v not in all_segments]
+        if unknown:
+            raise ValueError(
+                f"save_video_list entries not in the dataset: {unknown}; "
+                f"known video ids: {sorted(all_segments)}")
         for video_id in videos:
             segments = all_segments[video_id]
             for frame in self.coco.frames_of(video_id):

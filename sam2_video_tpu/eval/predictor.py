@@ -42,6 +42,7 @@ prompts and differ only sub-pixel for mask prompts.
 from __future__ import annotations
 
 import dataclasses
+from collections import deque
 from functools import partial
 from typing import Iterator, NamedTuple
 
@@ -140,6 +141,7 @@ class VideoPredictor:
             raise ValueError("max_cond_frames must be >= 1")
         self.max_cond_frames = max_cond_frames
         self._const_cache: dict = {}
+        self._zero_cache: dict = {}
         self._mem_pos_flat = None
         self._build_jitted()
 
@@ -221,13 +223,27 @@ class VideoPredictor:
             num_maskmem=M + n_cond - 1, tokens_per_slot=HW,
             num_ptrs=P, tokens_per_ptr=cfg.ptr_tokens_per_obj)
 
-        @partial(jax.jit, static_argnums=(11, 12))
-        def track_step(params, s0, s1, s16, spatial_mem, spatial_valid,
-                       tpos_index, obj_ptrs, ptr_valid, ptr_tpos, t_diff_max,
+        @partial(jax.jit, static_argnums=(10, 11))
+        def track_step(params, feats, t, mem_slots, spatial_valid,
+                       tpos_index, ptr_rows, ptr_valid, ptr_tpos, t_diff_max,
                        orig_hw, n_obj, mem_pos):
             """One fused device call per tracked frame: memory fusion ->
             SAM heads -> memory encode -> f16 logit packing + exact-parity
-            score (per-call RTT through the TPU tunnel is significant)."""
+            score (per-call RTT through the TPU tunnel is significant).
+
+            ``mem_slots`` / ``ptr_rows`` are tuples of per-slot arrays and
+            the frame's features are sliced from the full [T, ...] arrays by
+            the traced index ``t`` — stacking/slicing INSIDE jit keeps the
+            per-frame host loop at exactly one device dispatch (every eager
+            op pays a tunnel RTT on the remote backend)."""
+            s0, s1, s16 = (jax.lax.dynamic_index_in_dim(x, t, axis=0,
+                                                        keepdims=False)
+                           for x in feats)
+            spatial_mem = jnp.stack(
+                [s.astype(jnp.float32) for s in mem_slots], axis=0)
+            obj_ptrs = (jnp.stack([r.astype(jnp.float32) for r in ptr_rows],
+                                  axis=0) if ptr_rows
+                        else jnp.zeros((0, O, C), jnp.float32))
             curr = jnp.broadcast_to(
                 s16.reshape(1, HW, C), (O, HW, C))
             fused = sam2_mod.fuse_memory(
@@ -251,14 +267,20 @@ class VideoPredictor:
                     out["object_score_logits"], packed, score)
 
         @partial(jax.jit, static_argnums=(13,))
-        def correction_step(params, s0, s1, s16, spatial_mem, spatial_valid,
-                            tpos_index, obj_ptrs, ptr_valid, ptr_tpos,
+        def correction_step(params, s0, s1, s16, mem_slots, spatial_valid,
+                            tpos_index, ptr_rows, ptr_valid, ptr_tpos,
                             t_diff_max, point_coords, point_labels, multimask,
                             prev_logits, mem_pos):
             """Correction clicks on an already-tracked frame (the external
             predictor's is_init_cond_frame=False path, sam2_base.py:810-837):
             memory-conditioned features + the new clicks + the frame's
-            previous low-res mask logits as a dense prompt."""
+            previous low-res mask logits as a dense prompt. Slot/pointer
+            tuples are stacked inside jit (same as track_step)."""
+            spatial_mem = jnp.stack(
+                [s.astype(jnp.float32) for s in mem_slots], axis=0)
+            obj_ptrs = (jnp.stack([r.astype(jnp.float32) for r in ptr_rows],
+                                  axis=0) if ptr_rows
+                        else jnp.zeros((0, O, C), jnp.float32))
             curr = jnp.broadcast_to(s16.reshape(1, HW, C), (O, HW, C))
             fused = sam2_mod.fuse_memory(
                 params, cfg, layout, curr, self._curr_pos, spatial_mem,
@@ -342,6 +364,16 @@ class VideoPredictor:
                       for j in range(3))
         return InferenceState(num_frames=T, orig_hw=(H, W), feats=feats,
                               prompts={}, obj_order=[])
+
+    def _zeros_const(self, shape, dtype=jnp.float32):
+        """Cached device zeros — slot/pointer padding rows recur every frame,
+        so allocate once instead of paying an eager-dispatch RTT per step."""
+        key = (shape, jnp.dtype(dtype).str)
+        out = self._zero_cache.get(key)
+        if out is None:
+            out = jnp.zeros(shape, dtype)
+            self._zero_cache[key] = out
+        return out
 
     def _dev_const(self, arr: np.ndarray):
         """Device-cache small constant arrays (validity masks, tpos vectors)
@@ -601,29 +633,30 @@ class VideoPredictor:
             co = cond_outputs.get(t)
             if co is not None:
                 return self._lowres_pack(co.lowres, state.orig_hw, n_obj)
-            sm, sv, tpos, ptrs, pv, pt, tdm = self._assemble_memory(
+            slots, sv, tpos, ptrs, pv, pt, tdm = self._assemble_memory(
                 state, mem_bank, cond_outputs, t, reverse)
-            s0, s1, s16 = (x[t] for x in state.feats)
             obj_ptr, new_mem, lowres, oscore, packed, score = \
                 self._track_step(
-                    self.params, s0, s1, s16, sm, sv, tpos, ptrs, pv, pt,
-                    self._dev_const(np.float32(tdm)), state.orig_hw, n_obj,
-                    mem_pos_flat)
+                    self.params, state.feats, np.int32(t), slots, sv, tpos,
+                    ptrs, pv, pt, self._dev_const(np.float32(tdm)),
+                    state.orig_hw, n_obj, mem_pos_flat)
             mem_bank[t] = TrackedOutput(mem=new_mem, ptr=obj_ptr,
                                         lowres=lowres, score=oscore)
             return packed, score
 
-        # software pipeline: frame t+1 computes on device while the host
-        # converts/fetches frame t (per-call tunnel RTT dominates otherwise)
-        pending = None
+        # software pipeline, depth 3: several device steps stay in flight
+        # while the host converts/fetches earlier frames (per-call tunnel
+        # RTT dominates otherwise); dispatch consumes memory-bank entries
+        # as device futures, so queuing ahead never synchronizes
+        pending: deque = deque()
         for t in frame_order:
-            fut = (t, dispatch(t))
-            if pending is not None:
-                pt_, (pk, sc) = pending
+            pending.append((t, dispatch(t)))
+            if len(pending) > 3:
+                pt_, (pk, sc) = pending.popleft()
                 yield (pt_, obj_ids, np.asarray(pk), np.asarray(sc))
-            pending = fut
-        pt_, (pk, sc) = pending
-        yield (pt_, obj_ids, np.asarray(pk), np.asarray(sc))
+        while pending:
+            pt_, (pk, sc) = pending.popleft()
+            yield (pt_, obj_ids, np.asarray(pk), np.asarray(sc))
 
     def _assemble_memory(self, state, mem_bank, cond_outputs, frame_idx,
                          reverse):
@@ -657,13 +690,8 @@ class VideoPredictor:
                 frame_idx, cond_outputs,
                 budget if len(cond_outputs) > 1 else -1)
 
-        zero_slot = None
-
         def _zero():
-            nonlocal zero_slot
-            if zero_slot is None:
-                zero_slot = jnp.zeros((O, HW, cfg.mem_dim), jnp.float32)
-            return zero_slot
+            return self._zeros_const((O, HW, cfg.mem_dim))
 
         slots, valid = [], []
         sel_frames = list(selected)
@@ -702,14 +730,14 @@ class VideoPredictor:
         tpos_index = [M - 1] * n_cond + \
             [M - t_pos - 1 for t_pos in range(1, M)]
 
-        spatial_mem = jnp.stack(slots, axis=0)
         spatial_valid = self._dev_const(np.asarray(valid))
         tpos_idx = self._dev_const(np.asarray(tpos_index, np.int32))
 
         P = self._layout.num_ptrs
-        # pointer slots stay DEVICE arrays (stacked, never synced to host —
-        # keeps the dispatch pipeline fully asynchronous)
-        zero_ptr = jnp.zeros((O, cfg.d_model), jnp.float32)
+        # pointer slots stay DEVICE arrays (never synced to host; stacked
+        # inside the jitted step — keeps the dispatch pipeline fully
+        # asynchronous with zero eager device ops per frame)
+        zero_ptr = self._zeros_const((O, cfg.d_model))
         ptr_rows = [zero_ptr] * P
         pvalid = np.zeros((P,), bool)
         ptpos = np.zeros((P,), np.float32)
@@ -723,7 +751,7 @@ class VideoPredictor:
                 include = (t >= frame_idx if reverse else t <= frame_idx) or \
                     not cfg.only_obj_ptrs_in_the_past_for_eval
                 if include and idx < P:
-                    ptr_rows[idx] = jnp.asarray(co[2], jnp.float32)  # .ptr
+                    ptr_rows[idx] = co[2]  # .ptr (cast to f32 inside jit)
                     pvalid[idx] = True
                     ptpos[idx] = ((frame_idx - t) * sign
                                   if cfg.use_signed_tpos_enc_to_obj_ptrs
@@ -741,14 +769,12 @@ class VideoPredictor:
                     e = mem_bank.get(t)
                     row = e[1] if e is not None else None
                 if row is not None and idx < P:
-                    ptr_rows[idx] = jnp.asarray(row, jnp.float32)
+                    ptr_rows[idx] = row
                     pvalid[idx] = True
                     ptpos[idx] = t_diff
                     idx += 1
             t_diff_max = max(max_ptrs - 1, 1)
         else:
             t_diff_max = 1
-        ptrs = (jnp.stack(ptr_rows, axis=0) if P > 0
-                else jnp.zeros((0, O, cfg.d_model), jnp.float32))
-        return (spatial_mem, spatial_valid, tpos_idx, ptrs,
+        return (tuple(slots), spatial_valid, tpos_idx, tuple(ptr_rows),
                 self._dev_const(pvalid), self._dev_const(ptpos), t_diff_max)

@@ -7,10 +7,13 @@ stack's hot attention shapes:
 - larger grids (512px: Lq = 1024) up to Lq <= 2048.
 
 Design (cf. /opt/skills/guides/pallas_guide.md): the whole query block lives
-in VMEM (Lq x D is small for these shapes) and keys/values stream through in
+in VMEM (Lq x D is small for these shapes) and keys/values stream from HBM in
 ``block_k`` chunks with the online-softmax running (m, l) rescale; the
 additive key-bias vector (memory-slot validity mask) folds into the logits.
-Grid is (batch*heads,) for forward/dq and (batch*heads, k-blocks) for dk/dv.
+Grid is (batch*heads, k-blocks) for every kernel — forward and dq carry
+persistent f32 VMEM scratch accumulators across the sequential k-block steps
+so no kernel ever holds the full K/V resident (at the 512px grouped-eval
+shape that would exceed the 16 MB VMEM budget).
 f32 accumulation, bf16 or f32 I/O. Backward recomputes probabilities
 blockwise from the saved logsumexp — no Lq x Lk materialization anywhere.
 All small per-row tensors (lse, delta, bias) are kept 3D with full-size
@@ -40,39 +43,45 @@ MAX_LQ = 2048  # whole-q-block VMEM budget guard
 
 
 # ---------------------------------------------------------------------------
-# Forward kernel: grid (BH,), whole q resident, stream k/v blocks
+# Forward kernel: grid (BH, k-blocks), whole q resident, K/V streamed from
+# HBM one block per grid step (Pallas double-buffers them), online-softmax
+# state (acc, m, l) lives in f32 VMEM scratch that persists across the
+# sequential k-block iterations. Keeping the full K/V resident instead
+# OOMs VMEM at the 512px grouped-eval shape ([G*H, 1024, 256] x Lk=7424).
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
-                block_k: int, scale: float):
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
+                acc_ref, m_ref, l_ref, *, scale: float):
+    j = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
     q = q_ref[0].astype(jnp.float32) * scale        # [Lq, d]
-    Lq = q.shape[0]
-    num_kb = k_ref.shape[1] // block_k
+    kb = k_ref[0].astype(jnp.float32)               # [bk, d]
+    vb = v_ref[0].astype(jnp.float32)               # [bk, dv]
+    s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s + bias_ref[0, 0][None, :]
+    m_i = m_ref[...]
+    m_new = jnp.maximum(m_i, jnp.max(s, axis=1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_i - m_new)
+    l_ref[...] = alpha * l_ref[...] + jnp.sum(p, axis=1, keepdims=True)
+    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+        p, vb, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_ref[...] = m_new
 
-    def body(i, carry):
-        acc, m_i, l_i = carry
-        kb = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        vb = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        s = s + bias_ref[0, 0, pl.ds(i * block_k, block_k)][None, :]
-        m_new = jnp.maximum(m_i, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_i - m_new)
-        l_new = alpha * l_i + jnp.sum(p, axis=1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
-            p, vb, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        return acc, m_new, l_new
-
-    dv = v_ref.shape[-1]
-    acc0 = jnp.zeros((Lq, dv), jnp.float32)
-    m0 = jnp.full((Lq, 1), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((Lq, 1), jnp.float32)
-    acc, m_f, l_f = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
-    o_ref[0] = (acc / l_f).astype(o_ref.dtype)
-    lse_ref[0, 0] = (m_f + jnp.log(l_f))[:, 0]
+    @pl.when(j == nk - 1)
+    def _():
+        o_ref[0] = (acc_ref[...] / l_ref[...]).astype(o_ref.dtype)
+        lse_ref[0, 0] = (m_ref[...] + jnp.log(l_ref[...]))[:, 0]
 
 
 def _flash_fwd(q, k, v, bias, block_k: int):
@@ -80,22 +89,28 @@ def _flash_fwd(q, k, v, bias, block_k: int):
     Lk = k.shape[1]
     Dv = v.shape[-1]
     scale = 1.0 / math.sqrt(D)
+    from jax.experimental.pallas import tpu as pltpu
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, block_k=block_k, scale=scale),
-        grid=(BH,),
+        functools.partial(_fwd_kernel, scale=scale),
+        grid=(BH, Lk // block_k),
         in_specs=[
-            pl.BlockSpec((1, Lq, D), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, Lk, D), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, Lk, Dv), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, 1, Lk), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, Lq, D), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, block_k, D), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, Dv), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda b, j: (b, 0, j)),
         ],
         out_specs=[
-            pl.BlockSpec((1, Lq, Dv), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, 1, Lq), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, Lq, Dv), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, 1, Lq), lambda b, j: (b, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((BH, Lq, Dv), q.dtype),
             jax.ShapeDtypeStruct((BH, 1, Lq), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Lq, Dv), jnp.float32),
+            pltpu.VMEM((Lq, 1), jnp.float32),
+            pltpu.VMEM((Lq, 1), jnp.float32),
         ],
         interpret=INTERPRET,
     )(q, k, v, bias)
