@@ -1,5 +1,7 @@
 """Grouped-eval throughput at the CholecSeg8k-style setting (512px model,
 large source frames), with a jax.profiler trace for host-stall analysis."""
+import sys as _sys, pathlib as _pl
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
 import json, pathlib, time
 import jax
 cache = pathlib.Path("/root/repo/.jax_cache")

@@ -1,5 +1,7 @@
 """Cost-analysis + finer-grained timing of the train step on the chip.
 Order matters: the donating train step runs LAST (it deletes params)."""
+import sys as _sys, pathlib as _pl
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
 import json, pathlib, time
 
 import jax
@@ -31,14 +33,17 @@ batch = jax.device_put(_example_clip(S, T=T, O=O, C=C, B=B))
 def report(name, compiled, step_ms=None):
     ca = compiled.cost_analysis()
     ca = ca[0] if isinstance(ca, list) else ca
-    flops = float(ca.get("flops", 0.0))
-    nbytes = float(ca.get("bytes accessed", 0.0))
-    out = {"name": name, "gflops": round(flops / 1e9, 1),
-           "gbytes": round(nbytes / 1e9, 2)}
+    out = {"name": name}
+    if ca is not None:  # the axon backend may return None
+        flops = float(ca.get("flops", 0.0))
+        nbytes = float(ca.get("bytes accessed", 0.0))
+        out.update(gflops=round(flops / 1e9, 1),
+                   gbytes=round(nbytes / 1e9, 2))
+        if step_ms:
+            out["achieved_gbps"] = round(nbytes / 1e9 / (step_ms / 1e3), 1)
+            out["achieved_tflops"] = round(flops / 1e12 / (step_ms / 1e3), 2)
     if step_ms:
         out["ms"] = round(step_ms, 2)
-        out["achieved_gbps"] = round(nbytes / 1e9 / (step_ms / 1e3), 1)
-        out["achieved_tflops"] = round(flops / 1e12 / (step_ms / 1e3), 2)
     print(json.dumps(out), flush=True)
 
 

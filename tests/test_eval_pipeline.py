@@ -114,3 +114,13 @@ def test_eval_nanmean_aggregation(tmp_path):
     np.testing.assert_allclose(result["avg_scores"]["dice"], 1.0, atol=1e-6)
     np.testing.assert_allclose(result["avg_scores"]["iou"], 1.0, atol=1e-6)
     assert np.isnan(result["cat_scores"][1]["dice"])
+
+
+def test_save_video_list_unknown_id_raises(setup, tmp_path):
+    """Unknown save_video_list entries fail with an actionable error naming
+    the bad ids and the known ones (instead of a bare KeyError)."""
+    root, json_path, cfg, params = setup
+    with pytest.raises(ValueError, match="not in the dataset.*nope"):
+        inference(params, cfg, json_path, tmp_path / "run_badlist",
+                  prompt_type="points", clip_length=3, max_objects=4,
+                  save_video_list=["nope"])
