@@ -39,6 +39,11 @@ from ..ops.resize import resize_bilinear
 from .predictor import _resize_frame
 
 
+# jitted-function bundles shared across predictor instances, keyed by
+# (SAM2Config, max_objects, group_size) — see _build_jitted
+_JIT_BUNDLES: dict = {}
+
+
 @dataclasses.dataclass
 class GroupState:
     group_size: int
@@ -73,6 +78,19 @@ class BatchedVideoPredictor:
     # -- jitted device functions ---------------------------------------------
 
     def _build_jitted(self):
+        """Fetch (or build) the shared jitted-function bundle — same
+        module-level cache pattern as VideoPredictor._build_jitted (params
+        are jit arguments, so same-config instances share traces)."""
+        key = (self.cfg, self.max_objects, self.group_size)
+        bundle = _JIT_BUNDLES.get(key)
+        if bundle is None:
+            bundle = self._make_jitted()
+            _JIT_BUNDLES[key] = bundle
+        (self._encode, self._prompt_step, self._mask_prompt_step,
+         self._track_step, self._lowres_pack, self._curr_pos,
+         self._layout) = bundle
+
+    def _make_jitted(self):
         cfg = self.cfg
         G = self.group_size
         O = self.max_objects
@@ -91,6 +109,8 @@ class BatchedVideoPredictor:
         def _posenc():
             from ..ops.position_encoding import sine_pe_2d
             return sine_pe_2d(F, F, C).reshape(HW, C)
+
+        curr_pos = _posenc()
 
         def _one_point_prompt(params, s0, s1, s16, coords, labels,
                               multimask):
@@ -157,7 +177,7 @@ class BatchedVideoPredictor:
                        t_diff_max, mem_pos):
             curr = jnp.broadcast_to(s16.reshape(1, HW, C), (O, HW, C))
             fused = sam2_mod.fuse_memory(
-                params, cfg, layout, curr, self._curr_pos, spatial_mem,
+                params, cfg, layout, curr, curr_pos, spatial_mem,
                 spatial_valid, mem_pos, tpos_index, obj_ptrs, ptr_valid,
                 ptr_tpos, training=False, t_diff_max=t_diff_max)
             fused = fused.reshape(O, F, F, C)
@@ -218,13 +238,8 @@ class BatchedVideoPredictor:
             """Conditioning-frame yield (same packing as tracked frames)."""
             return _pack(lowres, orig_hw, n_obj)
 
-        self._encode = encode
-        self._prompt_step = prompt_step
-        self._mask_prompt_step = mask_prompt_step
-        self._track_step = track_step
-        self._lowres_pack = lowres_pack
-        self._curr_pos = _posenc()
-        self._layout = layout
+        return (encode, prompt_step, mask_prompt_step, track_step,
+                lowres_pack, curr_pos, layout)
 
     # -- public API -----------------------------------------------------------
 

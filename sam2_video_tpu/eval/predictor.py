@@ -62,6 +62,10 @@ try:
 except Exception:  # pragma: no cover
     _cv2 = None
 
+# jitted-function bundles shared across predictor instances, keyed by
+# (SAM2Config, max_objects, max_cond_frames) — see _build_jitted
+_JIT_BUNDLES: dict = {}
+
 
 def _resize_frame(frame: np.ndarray, size: int) -> np.ndarray:
     """Squash-resize one RGB uint8 frame to size x size (bilinear)."""
@@ -148,6 +152,23 @@ class VideoPredictor:
     # -- jitted device functions (compiled once, reused across videos) ------
 
     def _build_jitted(self):
+        """Fetch (or build) the jitted-function bundle for this predictor's
+        configuration. Bundles are cached at module level keyed by the
+        (hashable) config — params are jit ARGUMENTS, not closures, so
+        instances with the same architecture share traces and compiled
+        executables. This makes repeated ``inference()`` calls (e.g.
+        baseline_eval's 21 combos, threshold sweeps) skip ~a minute of
+        re-tracing each."""
+        key = (self.cfg, self.max_objects, self.max_cond_frames)
+        bundle = _JIT_BUNDLES.get(key)
+        if bundle is None:
+            bundle = self._make_jitted()
+            _JIT_BUNDLES[key] = bundle
+        (self._encode, self._prompt_step, self._mask_prompt_step,
+         self._track_step, self._correction_step, self._consolidate_mem,
+         self._lowres_pack, self._curr_pos, self._layout) = bundle
+
+    def _make_jitted(self):
         cfg = self.cfg
         O = self.max_objects
         S = cfg.image_size
@@ -168,6 +189,8 @@ class VideoPredictor:
         def _posenc():
             from ..ops.position_encoding import sine_pe_2d
             return sine_pe_2d(F, F, C).reshape(HW, C)
+
+        curr_pos = _posenc()
 
         @partial(jax.jit, static_argnums=(7,))
         def prompt_step(params, s0, s1, s16, point_coords, point_labels,
@@ -247,7 +270,7 @@ class VideoPredictor:
             curr = jnp.broadcast_to(
                 s16.reshape(1, HW, C), (O, HW, C))
             fused = sam2_mod.fuse_memory(
-                params, cfg, layout, curr, self._curr_pos, spatial_mem,
+                params, cfg, layout, curr, curr_pos, spatial_mem,
                 spatial_valid, mem_pos, tpos_index, obj_ptrs, ptr_valid,
                 ptr_tpos, training=False, t_diff_max=t_diff_max)
             fused = fused.reshape(O, F, F, C)
@@ -283,7 +306,7 @@ class VideoPredictor:
                         else jnp.zeros((0, O, C), jnp.float32))
             curr = jnp.broadcast_to(s16.reshape(1, HW, C), (O, HW, C))
             fused = sam2_mod.fuse_memory(
-                params, cfg, layout, curr, self._curr_pos, spatial_mem,
+                params, cfg, layout, curr, curr_pos, spatial_mem,
                 spatial_valid, mem_pos, tpos_index, obj_ptrs, ptr_valid,
                 ptr_tpos, training=False, t_diff_max=t_diff_max)
             fused = fused.reshape(O, F, F, C)
@@ -335,15 +358,9 @@ class VideoPredictor:
             frame kind)."""
             return _pack(lowres, orig_hw, n_obj)
 
-        self._encode = encode
-        self._prompt_step = prompt_step
-        self._mask_prompt_step = mask_prompt_step
-        self._track_step = track_step
-        self._correction_step = correction_step
-        self._consolidate_mem = consolidate_mem
-        self._lowres_pack = lowres_pack
-        self._curr_pos = _posenc()
-        self._layout = layout
+        return (encode, prompt_step, mask_prompt_step, track_step,
+                correction_step, consolidate_mem, lowres_pack, curr_pos,
+                layout)
 
     # -- public API ---------------------------------------------------------
 
