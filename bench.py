@@ -39,7 +39,8 @@ A100_BASELINE_CLIPS_PER_SEC = 2.0  # derived estimate — see module docstring
 PEAK_FLOPS = float(os.environ.get("TPU_PEAK_FLOPS", 197e12))  # v5e bf16
 
 
-def _build_step(B, remat, trainable, S=384, T=10, O=8, C=7):
+def _build_step(B, remat, trainable, S=384, T=10, O=8, C=7,
+                use_flash=True):
     import jax
 
     from sam2_video_tpu.models import VideoModelConfig
@@ -52,7 +53,7 @@ def _build_step(B, remat, trainable, S=384, T=10, O=8, C=7):
 
     cfg = SAM2Config(backbone="tiny", image_size=S, compute_dtype="bfloat16",
                      use_activation_checkpoint=(remat != "none"),
-                     remat_mode=remat)
+                     remat_mode=remat, use_flash_attention=use_flash)
     mcfg = VideoModelConfig(sam2=cfg, prompt_type="point")
     params = sam2_mod.init(jax.random.PRNGKey(0), cfg)
     tx = make_optimizer(params, {"lr": 1e-4, "type": "AdamW"},
@@ -65,35 +66,14 @@ def _build_step(B, remat, trainable, S=384, T=10, O=8, C=7):
     return step, state, batch
 
 
-def _flops_for(trainable, S=384, T=10):
+def _flops_for(trainable):
     """FLOP count for MFU: lower (never compile) the XLA-sdpa variant of
     the identical step and read XLA cost analysis — Pallas custom-call FLOPs
     are invisible to cost analysis, and the plain-sdpa program contains the
     same math as countable dots. Must run on the CPU backend (see
     _flops_via_cpu_subprocess): the axon remote backend's cost_analysis()
     returns None."""
-    import jax
-
-    from sam2_video_tpu.models import VideoModelConfig
-    from sam2_video_tpu.models import sam2 as sam2_mod
-    from sam2_video_tpu.models.sam2 import SAM2Config
-    from sam2_video_tpu.training.loop import TrainState, make_train_step
-    from sam2_video_tpu.training.losses import LossConfig
-    from sam2_video_tpu.training.optimizer import make_optimizer
-    from __graft_entry__ import _example_clip
-
-    cfg = SAM2Config(backbone="tiny", image_size=S, compute_dtype="bfloat16",
-                     use_activation_checkpoint=False,
-                     use_flash_attention=False)
-    mcfg = VideoModelConfig(sam2=cfg, prompt_type="point")
-    params = sam2_mod.init(jax.random.PRNGKey(0), cfg)
-    tx = make_optimizer(params, {"lr": 1e-4, "type": "AdamW"},
-                        {"enabled": False}, total_steps=1000,
-                        trainable_modules=trainable)
-    state = TrainState.create(params, tx)
-    step = make_train_step(mcfg, LossConfig(), tx,
-                           trainable_modules=trainable)
-    batch = _example_clip(S, T=T, O=8, C=7, B=1)
+    step, state, batch = _build_step(1, "none", trainable, use_flash=False)
     ca = step.lower(state, batch).cost_analysis()
     ca = ca[0] if isinstance(ca, list) else ca
     return float(ca.get("flops", 0.0)) or None

@@ -215,6 +215,7 @@ def model_config(cfg: Config):
         memory_temporal_stride_for_eval=int(
             m.get("memory_temporal_stride_for_eval", 1)),
         use_flash_attention=bool(m.get("use_flash_attention", True)),
+        scan_unroll=int(m.get("scan_unroll", 0)),
     )
     return VideoModelConfig(sam2=sam2, prompt_type=m.get("prompt_type", "point"))
 

@@ -87,8 +87,8 @@ class BatchedVideoPredictor:
             bundle = self._make_jitted()
             _JIT_BUNDLES[key] = bundle
         (self._encode, self._prompt_step, self._mask_prompt_step,
-         self._track_step, self._lowres_pack, self._curr_pos,
-         self._layout) = bundle
+         self._track_step, self._lowres_pack, self._frame_feats,
+         self._curr_pos, self._layout) = bundle
 
     def _make_jitted(self):
         cfg = self.cfg
@@ -194,20 +194,28 @@ class BatchedVideoPredictor:
             return (out["low_res_masks"], out["obj_ptr"],
                     mem.reshape(O, HW, cfg.mem_dim))
 
-        @partial(jax.jit, static_argnums=(10, 11))
-        def track_step(params, feats, t, mem_slots, ptr_rows,
+        @jax.jit
+        def frame_feats(feats, t):
+            """Slice lockstep frame t's features from the full [G, T, ...]
+            arrays in one device call. Separate from track_step so the big
+            fused step's compile signature is independent of clip length T
+            (only this tiny slicer recompiles per distinct T)."""
+            return tuple(jax.lax.dynamic_index_in_dim(x, t, axis=1,
+                                                      keepdims=False)
+                         for x in feats)
+
+        @partial(jax.jit, static_argnums=(11, 12))
+        def track_step(params, s0, s1, s16, mem_slots, ptr_rows,
                        spatial_valid, tpos_index, ptr_valid, ptr_tpos,
                        t_diff_max, orig_hw, n_obj, mem_pos):
             """mem_slots: M-tuple of [G, O, HW, md]; ptr_rows: P-tuple of
-            [G, O, C] — stacked HERE, inside jit, and the frame's features
-            are sliced from the full [G, T, ...] arrays by the traced index
-            ``t``, so the per-frame host loop issues exactly one device
-            dispatch (each eager op pays a tunnel RTT on the remote
-            backend). The validity/tpos vectors are SHARED across the group
-            (lockstep schedule => identical slot selection)."""
-            s0, s1, s16 = (jax.lax.dynamic_index_in_dim(x, t, axis=1,
-                                                        keepdims=False)
-                           for x in feats)
+            [G, O, C] — stacked HERE, inside jit, so the per-frame host loop
+            issues no eager device ops (each pays a tunnel RTT on the remote
+            backend). All slot entries share one dtype (compute dtype, zero
+            pads included) so the compile signature does not vary with the
+            slot-validity pattern. The validity/tpos vectors are SHARED
+            across the group (lockstep schedule => identical slot
+            selection)."""
             spatial_mem = jnp.stack(mem_slots, axis=1)
             obj_ptrs = jnp.stack(ptr_rows, axis=1)
             fn = partial(_one_track, params,
@@ -239,7 +247,7 @@ class BatchedVideoPredictor:
             return _pack(lowres, orig_hw, n_obj)
 
         return (encode, prompt_step, mask_prompt_step, track_step,
-                lowres_pack, curr_pos, layout)
+                lowres_pack, frame_feats, curr_pos, layout)
 
     # -- public API -----------------------------------------------------------
 
@@ -420,8 +428,9 @@ class BatchedVideoPredictor:
                 return self._lowres_pack(lowres, state.orig_hw, n_max)
             slots, ptrs, sv, tpos, pv, pt, tdm = self._assemble_memory(
                 state, mem_bank, cond_mem, cond_ptr, t, f, reverse)
+            s0, s1, s16 = self._frame_feats(state.feats, np.int32(t))
             new_ptr, new_mem, packed, score = self._track_step(
-                self.params, state.feats, np.int32(t), slots, ptrs, sv,
+                self.params, s0, s1, s16, slots, ptrs, sv,
                 tpos, pv, pt, self._dev_const(np.float32(tdm)),
                 state.orig_hw, n_max, mem_pos_flat)
             mem_bank[t] = (new_mem, new_ptr)
@@ -456,7 +465,9 @@ class BatchedVideoPredictor:
 
         slots = [cond_mem]
         valid = [True]
-        zero = self._zeros_const((G, O, HW, cfg.mem_dim))
+        # pads share the real entries' dtype (compute dtype) so the slot
+        # tuple's jit signature is one per config, not per fill pattern
+        zero = self._zeros_const((G, O, HW, cfg.mem_dim), cfg.dtype())
         for t_pos in range(1, M):
             t_rel = M - t_pos
             if t_rel == 1:
@@ -478,6 +489,9 @@ class BatchedVideoPredictor:
         tpos_idx = self._dev_const(np.asarray(tpos_index, np.int32))
 
         P = self._layout.num_ptrs
+        # pointer rows are ALWAYS f32 (forward_sam_heads casts obj_ptr to
+        # f32, sam2.py:370) — pads must match or the fill pattern would
+        # change the jit signature
         zero_ptr = self._zeros_const((G, O, cfg.d_model))
         ptr_rows = [zero_ptr] * P
         pvalid = np.zeros((P,), bool)

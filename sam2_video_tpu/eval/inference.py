@@ -470,11 +470,13 @@ class InferenceRunner:
     def save_as_coco_format(self, all_segments, save_video_list=None):
         coco_annotations = []
         videos = save_video_list or self.coco.video_ids
-        unknown = [v for v in videos if v not in all_segments]
-        if unknown:
-            raise ValueError(
-                f"save_video_list entries not in the dataset: {unknown}; "
-                f"known video ids: {sorted(all_segments)}")
+        if save_video_list:
+            unknown = [v for v in save_video_list if v not in all_segments]
+            if unknown:
+                raise ValueError(
+                    f"save_video_list entries with no processed video: "
+                    f"{unknown}; known video ids: "
+                    f"{sorted(all_segments, key=str)}")
         for video_id in videos:
             segments = all_segments[video_id]
             for frame in self.coco.frames_of(video_id):

@@ -166,7 +166,8 @@ class VideoPredictor:
             _JIT_BUNDLES[key] = bundle
         (self._encode, self._prompt_step, self._mask_prompt_step,
          self._track_step, self._correction_step, self._consolidate_mem,
-         self._lowres_pack, self._curr_pos, self._layout) = bundle
+         self._lowres_pack, self._frame_feats, self._curr_pos,
+         self._layout) = bundle
 
     def _make_jitted(self):
         cfg = self.cfg
@@ -246,22 +247,30 @@ class VideoPredictor:
             num_maskmem=M + n_cond - 1, tokens_per_slot=HW,
             num_ptrs=P, tokens_per_ptr=cfg.ptr_tokens_per_obj)
 
-        @partial(jax.jit, static_argnums=(10, 11))
-        def track_step(params, feats, t, mem_slots, spatial_valid,
+        @jax.jit
+        def frame_feats(feats, t):
+            """Slice frame t's features from the full [T, ...] arrays in one
+            device call (vs three eager slices paying a tunnel RTT each).
+            Kept SEPARATE from track_step so the big fused step's compile
+            signature stays independent of clip length T — only this tiny
+            3-slice program recompiles per distinct T."""
+            return tuple(jax.lax.dynamic_index_in_dim(x, t, axis=0,
+                                                      keepdims=False)
+                         for x in feats)
+
+        @partial(jax.jit, static_argnums=(11, 12))
+        def track_step(params, s0, s1, s16, mem_slots, spatial_valid,
                        tpos_index, ptr_rows, ptr_valid, ptr_tpos, t_diff_max,
                        orig_hw, n_obj, mem_pos):
             """One fused device call per tracked frame: memory fusion ->
             SAM heads -> memory encode -> f16 logit packing + exact-parity
             score (per-call RTT through the TPU tunnel is significant).
 
-            ``mem_slots`` / ``ptr_rows`` are tuples of per-slot arrays and
-            the frame's features are sliced from the full [T, ...] arrays by
-            the traced index ``t`` — stacking/slicing INSIDE jit keeps the
-            per-frame host loop at exactly one device dispatch (every eager
-            op pays a tunnel RTT on the remote backend)."""
-            s0, s1, s16 = (jax.lax.dynamic_index_in_dim(x, t, axis=0,
-                                                        keepdims=False)
-                           for x in feats)
+            ``mem_slots`` / ``ptr_rows`` are tuples of per-slot arrays,
+            stacked INSIDE jit so the per-frame host loop issues no eager
+            device ops. All slot entries share one dtype (cfg compute dtype
+            — zero pads included, see _zeros_const callers) so the compile
+            signature does not vary with the slot-validity pattern."""
             spatial_mem = jnp.stack(
                 [s.astype(jnp.float32) for s in mem_slots], axis=0)
             obj_ptrs = (jnp.stack([r.astype(jnp.float32) for r in ptr_rows],
@@ -359,8 +368,8 @@ class VideoPredictor:
             return _pack(lowres, orig_hw, n_obj)
 
         return (encode, prompt_step, mask_prompt_step, track_step,
-                correction_step, consolidate_mem, lowres_pack, curr_pos,
-                layout)
+                correction_step, consolidate_mem, lowres_pack, frame_feats,
+                curr_pos, layout)
 
     # -- public API ---------------------------------------------------------
 
@@ -652,9 +661,10 @@ class VideoPredictor:
                 return self._lowres_pack(co.lowres, state.orig_hw, n_obj)
             slots, sv, tpos, ptrs, pv, pt, tdm = self._assemble_memory(
                 state, mem_bank, cond_outputs, t, reverse)
+            s0, s1, s16 = self._frame_feats(state.feats, np.int32(t))
             obj_ptr, new_mem, lowres, oscore, packed, score = \
                 self._track_step(
-                    self.params, state.feats, np.int32(t), slots, sv, tpos,
+                    self.params, s0, s1, s16, slots, sv, tpos,
                     ptrs, pv, pt, self._dev_const(np.float32(tdm)),
                     state.orig_hw, n_obj, mem_pos_flat)
             mem_bank[t] = TrackedOutput(mem=new_mem, ptr=obj_ptr,
@@ -708,7 +718,9 @@ class VideoPredictor:
                 budget if len(cond_outputs) > 1 else -1)
 
         def _zero():
-            return self._zeros_const((O, HW, cfg.mem_dim))
+            # pads share the real entries' dtype (compute dtype) so the slot
+            # tuple's jit signature is one per config, not per fill pattern
+            return self._zeros_const((O, HW, cfg.mem_dim), cfg.dtype())
 
         slots, valid = [], []
         sel_frames = list(selected)
@@ -754,6 +766,9 @@ class VideoPredictor:
         # pointer slots stay DEVICE arrays (never synced to host; stacked
         # inside the jitted step — keeps the dispatch pipeline fully
         # asynchronous with zero eager device ops per frame)
+        # pointer rows are ALWAYS f32 (forward_sam_heads casts obj_ptr to
+        # f32, sam2.py:370) — pads must match or the fill pattern would
+        # change the jit signature
         zero_ptr = self._zeros_const((O, cfg.d_model))
         ptr_rows = [zero_ptr] * P
         pvalid = np.zeros((P,), bool)

@@ -129,3 +129,23 @@ def test_batched_guards(setup, rng):
     with pytest.raises(ValueError, match="ONE prompt frame"):
         bat.add_new_points_or_box(state, 1, 2, "b", points=[[5, 5]],
                                   labels=[1])
+
+
+def test_batched_track_step_no_retrace_bf16(rng):
+    """The fused group track step compiles once per config under bfloat16
+    compute (the TPU setting): slot pads share the bank's compute dtype,
+    pointer pads are f32 like every real pointer row, and frame features
+    are sliced by the separate frame_feats jit — so neither the slot-fill
+    pattern nor the clip length retraces the big jit."""
+    cfg = SAM2Config(image_size=128, compute_dtype="bfloat16",
+                     use_activation_checkpoint=False)
+    params = sam2_mod.init(jax.random.PRNGKey(0), cfg)
+    bat = BatchedVideoPredictor(params, cfg, max_objects=2, group_size=2)
+    frames = rng.integers(0, 255, (2, 5, 64, 80, 3), dtype=np.uint8)
+    state = bat.init_group(frames)
+    for g in range(2):
+        bat.add_new_points_or_box(state, g, 0, 1, points=[[40, 32]],
+                                  labels=[1])
+    for _ in bat.propagate_in_group(state):
+        pass
+    assert bat._track_step._cache_size() == 1

@@ -215,3 +215,41 @@ def test_forward_pass_sees_reverse_pass_memories(pred, rng):
     # would be garbage)
     pred.add_new_mask(state, 0, obj_id=2, mask=mask)
     assert state.mem_bank is None and state.cond_outputs is None
+
+
+def test_track_step_no_retrace_across_lengths_and_patterns(pred, rng):
+    """The fused track step must compile exactly once per predictor config:
+    its signature must not vary with clip length T (frame features are
+    sliced by the separate frame_feats jit) nor with the memory-slot fill
+    pattern (zero pads share the real entries' dtype). Re-tracing the
+    largest jit per frame/clip silently dominated eval wall-clock before
+    this was pinned."""
+    base = pred._track_step._cache_size()
+    for T in (4, 6):
+        frames = rng.integers(0, 255, (T, 64, 80, 3), dtype=np.uint8)
+        state = pred.init_state(frames.astype(np.uint8))
+        pred.add_new_points_or_box(state, 0, 1, points=[[40, 32]],
+                                   labels=[1])
+        for _ in pred.propagate_in_video(state):
+            pass
+    # early frames have mostly-empty slot patterns, later ones full; two
+    # clip lengths were run — still exactly one new track_step trace
+    assert pred._track_step._cache_size() <= base + 1
+    # and the only per-T recompiles happen in the tiny slicer
+    assert pred._frame_feats._cache_size() >= 2
+
+
+def test_track_step_no_retrace_bf16_slot_patterns(rng):
+    """Same pin under bfloat16 compute (the TPU setting): memory-bank
+    entries are bf16 there, so f32 zero pads would make every slot
+    fill/empty pattern a fresh jit signature."""
+    cfg = SAM2Config(image_size=128, compute_dtype="bfloat16",
+                     use_activation_checkpoint=False)
+    params = sam2_mod.init(jax.random.PRNGKey(0), cfg)
+    p = VideoPredictor(params, cfg, max_objects=2)
+    frames = rng.integers(0, 255, (5, 64, 80, 3), dtype=np.uint8)
+    state = p.init_state(frames)
+    p.add_new_points_or_box(state, 0, 1, points=[[40, 32]], labels=[1])
+    for _ in p.propagate_in_video(state):
+        pass
+    assert p._track_step._cache_size() == 1

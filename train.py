@@ -288,6 +288,14 @@ def main(argv=None):
                        indent=2, default=float))
     if logger is not None:
         logger.close()
+    if distributed:
+        # all processes meet here before exiting: process 0 may have spent
+        # a long time in the single-process eval above, and jax.distributed's
+        # interpreter-exit shutdown is itself a barrier — without this sync,
+        # workers would block (or time out) in that shutdown while process 0
+        # is still evaluating
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("sam2_video_tpu_post_fit")
     return 0
 
 
