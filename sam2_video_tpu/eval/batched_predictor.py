@@ -36,7 +36,7 @@ from ..models import sam2 as sam2_mod
 from ..models.sam2 import SAM2Config
 from ..models.video_model import _use_multimask
 from ..ops.resize import resize_bilinear
-from .predictor import _resize_frame
+from .predictor import _resize_frames_into
 
 
 # jitted-function bundles shared across predictor instances, keyed by
@@ -261,8 +261,7 @@ class BatchedVideoPredictor:
         S = self.cfg.image_size
         flat = frames.reshape(G * T, H, W, 3)
         small = np.empty((G * T, S, S, 3), np.uint8)
-        for i in range(G * T):
-            small[i] = _resize_frame(flat[i], S)
+        _resize_frames_into(small, flat, S)
         chunks = []
         for i in range(0, G * T, self.encode_chunk):
             chunks.append(self._encode(self.params,

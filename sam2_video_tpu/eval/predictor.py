@@ -77,6 +77,24 @@ def _resize_frame(frame: np.ndarray, size: int) -> np.ndarray:
                                                     Image.BILINEAR))
 
 
+def _resize_frames_into(out: np.ndarray, frames, size: int) -> None:
+    """Resize a batch of frames into ``out`` with a thread pool (cv2.resize
+    releases the GIL; at 1024x1280 sources the sequential loop is a real
+    chunk of eval wall clock)."""
+    n = len(frames)
+    if n <= 2:
+        for i in range(n):
+            out[i] = _resize_frame(frames[i], size)
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    def work(i):
+        out[i] = _resize_frame(frames[i], size)
+
+    with ThreadPoolExecutor(max_workers=min(8, n)) as pool:
+        list(pool.map(work, range(n)))
+
+
 def logits_to_orig(logits: np.ndarray, orig_hw, want_probs: bool = False):
     """Host-side original-resolution reconstruction from model-resolution
     logits [n, 1, h', w'] (any model resolution — the predictor yields S/4
@@ -380,8 +398,7 @@ class VideoPredictor:
         T, H, W, _ = frames.shape
         S = self.cfg.image_size
         small = np.empty((T, S, S, 3), np.uint8)
-        for i in range(T):
-            small[i] = _resize_frame(frames[i], S)
+        _resize_frames_into(small, frames, S)
         chunks = []
         for i in range(0, T, self.encode_chunk):
             chunk = small[i: i + self.encode_chunk]
