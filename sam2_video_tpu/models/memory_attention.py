@@ -124,7 +124,25 @@ def _cross_attn(p, cfg, tgt, memory, query_pos, pos, rope_q, rope_k,
                     cfg.num_heads)
     k = split_heads(nn.linear(_perm_rows(ap["k_proj"], perm), k_in),
                     cfg.num_heads)
-    v = split_heads(nn.linear(ap["v_proj"], memory), cfg.num_heads)
+    # v-projection commute (single-head only): softmax rows sum to 1, so
+    # P @ (m Wv + bv) == (P @ m) Wv + bv exactly. Attend against the RAW
+    # kv_in_dim(=64) memories (zero-padded to the flash kernel's 128-lane
+    # minimum) and run v_proj on the [Lq, 64] attention output instead of
+    # the [Lk, 256] values: 2x less PV/dP compute, 4x less dV, and no
+    # [Lk, d_model] V materialization in the scan's hottest block. With
+    # multiple heads each head would need its own P @ m, erasing the win.
+    commute_v = cfg.num_heads == 1
+    if commute_v:
+        pad = (-cfg.kv_in_dim) % 128
+        v_raw = memory
+        if pad:
+            v_raw = jnp.concatenate(
+                [memory,
+                 jnp.zeros(memory.shape[:-1] + (pad,), memory.dtype)],
+                axis=-1)
+        v = split_heads(v_raw, 1)
+    else:
+        v = split_heads(nn.linear(ap["v_proj"], memory), cfg.num_heads)
     q = apply_rope_half(q, *rope_q)
     k_spatial = apply_rope_half(k[..., :num_spatial_k, :], *rope_k)
     k = jnp.concatenate([k_spatial, k[..., num_spatial_k:, :]], axis=-2)
@@ -138,7 +156,10 @@ def _cross_attn(p, cfg, tgt, memory, query_pos, pos, rope_q, rope_k,
         bias = (key_bias[None, None, None, :]
                 if key_bias is not None else None)
         attn = sdpa(q, k, v, bias)
-    out = nn.linear(ap["out_proj"], merge_heads(attn))
+    attn = merge_heads(attn)
+    if commute_v:
+        attn = nn.linear(ap["v_proj"], attn[..., :cfg.kv_in_dim])
+    out = nn.linear(ap["out_proj"], attn)
     return tgt + out
 
 
