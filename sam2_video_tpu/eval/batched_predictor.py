@@ -36,12 +36,7 @@ from ..models import sam2 as sam2_mod
 from ..models.sam2 import SAM2Config
 from ..models.video_model import _use_multimask
 from ..ops.resize import resize_bilinear
-from .predictor import _resize_frames_into
-
-
-# jitted-function bundles shared across predictor instances, keyed by
-# (SAM2Config, max_objects, group_size) — see _build_jitted
-_JIT_BUNDLES: dict = {}
+from .predictor import _jit_bundle, _resize_frames_into
 
 
 @dataclasses.dataclass
@@ -81,11 +76,9 @@ class BatchedVideoPredictor:
         """Fetch (or build) the shared jitted-function bundle — same
         module-level cache pattern as VideoPredictor._build_jitted (params
         are jit arguments, so same-config instances share traces)."""
-        key = (self.cfg, self.max_objects, self.group_size)
-        bundle = _JIT_BUNDLES.get(key)
-        if bundle is None:
-            bundle = self._make_jitted()
-            _JIT_BUNDLES[key] = bundle
+        bundle = _jit_bundle(
+            ("grp", self.cfg, self.max_objects, self.group_size),
+            self._make_jitted)
         (self._encode, self._prompt_step, self._mask_prompt_step,
          self._track_step, self._lowres_pack, self._frame_feats,
          self._curr_pos, self._layout) = bundle

@@ -106,7 +106,6 @@ class InferenceRunner:
                                         max_cond_frames=cfg.max_cond_frames)
         self.obj_count = 0
         self.prompt_info: list[PromptInfo] = []
-        self._decode_pool = None
         self.rng = np.random.default_rng(cfg.seed)
         self.noise = (PromptObjNoiseAdder(cfg.bbox_noise_type,
                                           cfg.noise_intensity)
@@ -246,17 +245,19 @@ class InferenceRunner:
 
         def _decode(path):
             if _cv2 is not None:
-                img = _cv2.imread(path, _cv2.IMREAD_COLOR)
+                # IGNORE_ORIENTATION: match PIL's convert("RGB"), which does
+                # NOT apply EXIF rotation — annotations are drawn against
+                # the raw pixel grid
+                img = _cv2.imread(
+                    path, _cv2.IMREAD_COLOR | _cv2.IMREAD_IGNORE_ORIENTATION)
                 if img is not None:
                     return img[:, :, ::-1]  # BGR -> RGB
             return np.asarray(Image.open(path).convert("RGB"))
 
         paths = [_resolve(f) for f in frames_info]
         if len(paths) > 1:
-            from concurrent.futures import ThreadPoolExecutor
-            if self._decode_pool is None:
-                self._decode_pool = ThreadPoolExecutor(max_workers=8)
-            arrs = list(self._decode_pool.map(_decode, paths))
+            from .predictor import host_pool
+            arrs = list(host_pool().map(_decode, paths))
         else:
             arrs = [_decode(p) for p in paths]
         return np.stack(arrs)
@@ -495,13 +496,12 @@ class InferenceRunner:
     def save_as_coco_format(self, all_segments, save_video_list=None):
         coco_annotations = []
         videos = save_video_list or self.coco.video_ids
-        if save_video_list:
-            unknown = [v for v in save_video_list if v not in all_segments]
-            if unknown:
-                raise ValueError(
-                    f"save_video_list entries with no processed video: "
-                    f"{unknown}; known video ids: "
-                    f"{sorted(all_segments, key=str)}")
+        unknown = [v for v in videos if v not in all_segments]
+        if unknown:
+            src = "save_video_list entries" if save_video_list else "videos"
+            raise ValueError(
+                f"{src} with no processed results: {unknown}; "
+                f"known video ids: {sorted(all_segments, key=str)}")
         for video_id in videos:
             segments = all_segments[video_id]
             for frame in self.coco.frames_of(video_id):

@@ -62,9 +62,34 @@ try:
 except Exception:  # pragma: no cover
     _cv2 = None
 
-# jitted-function bundles shared across predictor instances, keyed by
-# (SAM2Config, max_objects, max_cond_frames) — see _build_jitted
+# jitted-function bundles shared across predictor instances (sequential AND
+# batched — see _build_jitted in each). Grows by one entry per distinct
+# config a process actually uses; entries hold traces/executables/constants
+# deliberately for the process lifetime.
 _JIT_BUNDLES: dict = {}
+
+
+def _jit_bundle(key, make):
+    bundle = _JIT_BUNDLES.get(key)
+    if bundle is None:
+        bundle = make()
+        _JIT_BUNDLES[key] = bundle
+    return bundle
+
+
+_HOST_POOL = None
+
+
+def host_pool():
+    """Shared 8-thread pool for GIL-releasing host work (image decode,
+    frame resize) — one process-wide pool instead of per-call or
+    per-runner executors (which leak threads across repeated
+    ``inference()`` calls)."""
+    global _HOST_POOL
+    if _HOST_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _HOST_POOL = ThreadPoolExecutor(max_workers=8)
+    return _HOST_POOL
 
 
 def _resize_frame(frame: np.ndarray, size: int) -> np.ndarray:
@@ -86,13 +111,11 @@ def _resize_frames_into(out: np.ndarray, frames, size: int) -> None:
         for i in range(n):
             out[i] = _resize_frame(frames[i], size)
         return
-    from concurrent.futures import ThreadPoolExecutor
 
     def work(i):
         out[i] = _resize_frame(frames[i], size)
 
-    with ThreadPoolExecutor(max_workers=min(8, n)) as pool:
-        list(pool.map(work, range(n)))
+    list(host_pool().map(work, range(n)))
 
 
 def logits_to_orig(logits: np.ndarray, orig_hw, want_probs: bool = False):
@@ -177,11 +200,9 @@ class VideoPredictor:
         executables. This makes repeated ``inference()`` calls (e.g.
         baseline_eval's 21 combos, threshold sweeps) skip ~a minute of
         re-tracing each."""
-        key = (self.cfg, self.max_objects, self.max_cond_frames)
-        bundle = _JIT_BUNDLES.get(key)
-        if bundle is None:
-            bundle = self._make_jitted()
-            _JIT_BUNDLES[key] = bundle
+        bundle = _jit_bundle(
+            ("seq", self.cfg, self.max_objects, self.max_cond_frames),
+            self._make_jitted)
         (self._encode, self._prompt_step, self._mask_prompt_step,
          self._track_step, self._correction_step, self._consolidate_mem,
          self._lowres_pack, self._frame_feats, self._curr_pos,

@@ -133,14 +133,7 @@ def _cross_attn(p, cfg, tgt, memory, query_pos, pos, rope_q, rope_k,
     # multiple heads each head would need its own P @ m, erasing the win.
     commute_v = cfg.num_heads == 1
     if commute_v:
-        pad = (-cfg.kv_in_dim) % 128
-        v_raw = memory
-        if pad:
-            v_raw = jnp.concatenate(
-                [memory,
-                 jnp.zeros(memory.shape[:-1] + (pad,), memory.dtype)],
-                axis=-1)
-        v = split_heads(v_raw, 1)
+        v = split_heads(memory, 1)          # raw [B, 1, Lk, kv_in_dim]
     else:
         v = split_heads(nn.linear(ap["v_proj"], memory), cfg.num_heads)
     q = apply_rope_half(q, *rope_q)
@@ -151,14 +144,24 @@ def _cross_attn(p, cfg, tgt, memory, query_pos, pos, rope_q, rope_k,
         key_bias = jnp.where(key_valid, 0.0, -1e9).astype(jnp.float32)
     if cfg.use_flash:
         from ..ops.flash_attention import flash_attention
-        attn = flash_attention(q, k, v, key_bias)
+        if commute_v:
+            # zero-pad v to the Pallas kernel's 128-lane minimum (pad
+            # columns come back as exact zeros and are sliced off); the
+            # sdpa fallback below skips the pad — it handles Dv=64 natively
+            pad = (-cfg.kv_in_dim) % 128
+            vk = (jnp.concatenate(
+                [v, jnp.zeros(v.shape[:-1] + (pad,), v.dtype)], axis=-1)
+                if pad else v)
+            attn = flash_attention(q, k, vk, key_bias)[..., :cfg.kv_in_dim]
+        else:
+            attn = flash_attention(q, k, v, key_bias)
     else:
         bias = (key_bias[None, None, None, :]
                 if key_bias is not None else None)
         attn = sdpa(q, k, v, bias)
     attn = merge_heads(attn)
     if commute_v:
-        attn = nn.linear(ap["v_proj"], attn[..., :cfg.kv_in_dim])
+        attn = nn.linear(ap["v_proj"], attn)
     out = nn.linear(ap["out_proj"], attn)
     return tgt + out
 

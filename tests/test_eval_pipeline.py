@@ -120,7 +120,7 @@ def test_save_video_list_unknown_id_raises(setup, tmp_path):
     """Unknown save_video_list entries fail with an actionable error naming
     the bad ids and the known ones (instead of a bare KeyError)."""
     root, json_path, cfg, params = setup
-    with pytest.raises(ValueError, match="no processed video.*nope"):
+    with pytest.raises(ValueError, match="no processed results.*nope"):
         inference(params, cfg, json_path, tmp_path / "run_badlist",
                   prompt_type="points", clip_length=3, max_objects=4,
                   save_video_list=["nope"])
