@@ -110,7 +110,7 @@ def _self_attn(p, cfg, tgt, query_pos, rope_q, perm):
 
 
 def _cross_attn(p, cfg, tgt, memory, query_pos, pos, rope_q, rope_k,
-                num_spatial_k: int, key_valid, perm):
+                num_spatial_k: int, key_valid, perm, feat_hw):
     """Cross-attention: q gets RoPE; the first ``num_spatial_k`` keys get the
     tiled RoPE; trailing (object-pointer) keys are left unrotated (they are
     still feature-permuted by ``perm`` like every key, which q·kᵀ cancels).
@@ -122,6 +122,28 @@ def _cross_attn(p, cfg, tgt, memory, query_pos, pos, rope_q, rope_k,
     ap = p["cross_attn_image"]
     q = split_heads(nn.linear(_perm_rows(ap["q_proj"], perm), q_in),
                     cfg.num_heads)
+
+    if cfg.use_flash and cfg.num_heads == 1:
+        # fused path: K never materializes — the Pallas kernel streams the
+        # raw kv_in_dim k-input tokens and computes k = rope(k_in @ Wk + bk)
+        # per block in VMEM; the v-projection commute (below) already streams
+        # raw memories as v, so the whole cross-attention reads only 64-dim
+        # token tensors from HBM (ops/flash_attention.py, round-3 profiling)
+        from ..ops.flash_attention import (flash_attention_kproj,
+                                           flash_kproj_eligible)
+        q3 = apply_rope_half(q[:, 0], *rope_q)
+        if flash_kproj_eligible(q3, k_in, num_spatial_k, feat_hw):
+            key_bias = (jnp.where(key_valid, 0.0, -1e9).astype(jnp.float32)
+                        if key_valid is not None else None)
+            kp = _perm_rows(ap["k_proj"], perm)
+            attn = flash_attention_kproj(
+                q3, k_in, memory, kp["weight"], kp["bias"], key_bias,
+                num_spatial_k, feat_hw,
+                theta=cfg.rope_theta)[..., :cfg.kv_in_dim]
+            attn = nn.linear(ap["v_proj"], attn)
+            out = nn.linear(ap["out_proj"], attn)
+            return tgt + out
+
     k = split_heads(nn.linear(_perm_rows(ap["k_proj"], perm), k_in),
                     cfg.num_heads)
     # v-projection commute (single-head only): softmax rows sum to 1, so
@@ -196,7 +218,8 @@ def apply(p, cfg: MemoryAttentionConfig, curr, memory, curr_pos, memory_pos,
         lp = p["layers"][str(i)]
         output = _self_attn(lp, cfg, output, curr_pos, rope_q, perm)
         output = _cross_attn(lp, cfg, output, memory, curr_pos, memory_pos,
-                             rope_q, rope_k, num_spatial_k, key_valid, perm)
+                             rope_q, rope_k, num_spatial_k, key_valid, perm,
+                             (w, h))
         tgt2 = nn.layer_norm(lp["norm3"], output)
         tgt2 = nn.linear(lp["linear2"], act(nn.linear(lp["linear1"], tgt2)))
         output = output + tgt2
