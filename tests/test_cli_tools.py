@@ -98,6 +98,44 @@ def test_performance_table_report(tmp_path):
     assert "0.400 / 0.350 / 3.20" in md
 
 
+def test_baseline_delta_report(tmp_path):
+    """analyze.py twin: trained-vs-zeroshot join on (dataset, prompt_type),
+    improvement math, and the grouped insights."""
+
+    def write(root, combo, dice, iou, mae):
+        d = root / combo.replace("/", "_")
+        d.mkdir(parents=True, exist_ok=True)
+        (d / "metrics.json").write_text(json.dumps({
+            "combo": combo,
+            "avg_scores": {"dice": dice, "iou": iou, "mae": mae}}))
+
+    trained = tmp_path / "trained"
+    baseline = tmp_path / "baseline"
+    # endovis18/1 = point+mem (trainable mem modules); endovis18/14 = mask+md
+    write(trained, "endovis18/1", 0.40, 0.35, 3.0)
+    write(trained, "endovis18/14", 0.50, 0.45, 2.0)
+    write(baseline, "endovis18/1", 0.32, 0.28, 6.0)
+    write(baseline, "endovis18/14", 0.40, 0.36, 4.0)
+    out = tmp_path / "report.md"
+    r = subprocess.run(
+        [sys.executable, str(REPO / "reports/baseline_delta_report.py"),
+         "--results", str(trained), "--baseline", str(baseline),
+         "--out", str(out)],
+        capture_output=True, text=True, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    md = out.read_text()
+    # dice improvement for endovis18/1: (0.40-0.32)/0.32*100 = 25%
+    assert "25.00" in md
+    # mae 'reduction' keeps the reference's signed convention: -50%
+    assert "-50.00" in md
+    for section in ("Insight 1", "Insight 2", "Insight 3", "Insight 4",
+                    "Insight 5", "Insight 6"):
+        assert section in md
+    assert "with memory" in md and "without memory" in md
+    # best overall config by mean dice is the mask+md combo
+    assert "Best overall configuration: `md`" in md
+
+
 def test_data_converter_roundtrip(tmp_path):
     """EndoVis-style source -> COCO -> our loader parses it."""
     from PIL import Image
