@@ -130,6 +130,92 @@ def _measure(step, state, batch, B, flops_per_step=None, n_steps=20):
     return cps, step_s, flops_per_step, mfu
 
 
+def _loader_dataset(S=384, T=10, C=7):
+    """Disk-backed synthetic COCO dataset (real PNGs + RLE annotations) for
+    the loader-in-the-loop measurement; cached across bench runs."""
+    import pathlib
+
+    from sam2_video_tpu.data.synthetic import make_synthetic_dataset
+    root = pathlib.Path(__file__).resolve().parent / ".bench_data" / \
+        f"loader_s{S}_t{T}_c{C}"
+    json_path = root / "annotations.json"
+    if not json_path.exists():
+        make_synthetic_dataset(root, num_videos=8, frames_per_video=4 * T,
+                               image_hw=(S, S + 128), num_categories=C,
+                               seed=0)
+    return json_path
+
+
+def _bench_loader(S=384, T=10, O=8, C=7, n_steps=24):
+    """VERDICT r2 item 4: the host input pipeline IN the training loop —
+    real PNG decode + RLE decode + connected components + point sampling
+    through ClipLoader feeding the jitted step — vs the pre-staged headline.
+
+    CAVEAT: this environment's host has ONE CPU core (shared with the
+    device-dispatch thread), unlike a real TPU-VM host (dozens of cores);
+    the loader_only numbers here are a LOWER bound on a production host and
+    worker scaling cannot show gains at nproc=1."""
+    import time
+
+    import jax
+
+    from sam2_video_tpu.data.coco import COCOIndex
+    from sam2_video_tpu.data.pipeline import (ClipDataset, ClipDatasetConfig,
+                                              ClipLoader)
+
+    json_path = _loader_dataset(S, T, C)
+    index = COCOIndex(json_path, S, C)
+    ds = ClipDataset(index, ClipDatasetConfig(
+        clip_length=T, stride=T, max_objects=O, prompt_type="point"))
+
+    def loader(workers):
+        return ClipLoader(ds, batch_size=1, shuffle=True, seed=0,
+                          num_workers=workers, prefetch=2, drop_last=True)
+
+    # pure host loader throughput (no device work), worker scaling
+    loader_only = {}
+    for workers in (1, 2):
+        it = iter(loader(workers))
+        next(it)                      # warm the cache/threads
+        t0 = time.perf_counter()
+        n = 0
+        for _ in range(10):
+            next(it, None)
+            n += 1
+        loader_only[workers] = round(n / (time.perf_counter() - t0), 3)
+
+    # the real fit-style loop: jitted step consuming loader batches
+    step, state, _ = _build_step(1, "none",
+                                 ["memory_attention", "memory_encoder"],
+                                 S=S, T=T, O=O, C=C)
+    # async dispatch exactly like the fit loop: sync only at the warmup
+    # boundary and the end, so loader work overlaps device compute
+    warmup, done, t0 = 4, 0, None
+    while done < n_steps:
+        for batch in loader(2):
+            if done >= n_steps:
+                break
+            state, metrics = step(state, batch)
+            done += 1
+            if done == warmup:
+                float(jax.device_get(metrics["total_loss"]))
+                t0 = time.perf_counter()
+    float(jax.device_get(metrics["total_loss"]))
+    dt = time.perf_counter() - t0
+    return {
+        "loader_clips_per_sec": round((n_steps - warmup) / dt, 3),
+        "loader_only_clips_per_sec": loader_only,
+        "loader_note": "in-loop steady state over synthetic disk-backed "
+                       "PNGs+RLE at 384px. On THIS environment the in-loop "
+                       "number is bound by per-step batch upload (~33 MB) "
+                       "through the remote-TPU tunnel plus the 1-core host "
+                       "— not by the loader itself (see loader_only_* for "
+                       "pure host pipeline throughput and its worker "
+                       "scaling); production TPU-VM hosts have local PCIe "
+                       "and dozens of loader cores",
+    }
+
+
 def main():
     import pathlib
 
@@ -160,6 +246,15 @@ def main():
     cps_all, step_all_s, flops_all, mfu_all = _measure(step, state, batch, 1,
                                                        flops_map.get("all"),
                                                        n_steps=10)
+    del step, state, batch
+
+    try:
+        loader_fields = _bench_loader()
+    except Exception as e:
+        import sys as _sys
+        print(f"bench: loader-in-loop measurement failed "
+              f"({type(e).__name__}: {e})", file=_sys.stderr)
+        loader_fields = {"loader_clips_per_sec": None}
 
     print(json.dumps({
         "metric": "clips/sec/chip (10-frame 384px EndoVis18-style "
@@ -176,6 +271,7 @@ def main():
         "all_trainable_mfu": round(mfu_all, 4) if mfu_all is not None
         else None,
         "peak_flops_assumed": PEAK_FLOPS,
+        **loader_fields,
     }))
 
 
