@@ -51,7 +51,7 @@ def run_config(name, image_size, group, runs):
                                   frames_per_video=8,
                                   image_hw=(480, 854), num_categories=3)
     kw = dict(prompt_type="points", clip_length=8, max_objects=8,
-              batch_videos=group if group > 1 else None)
+              batch_videos=group)
     t0 = time.perf_counter()
     inference(params, cfg, warm, f"/tmp/evalbench_w_{name}", **kw)
     warm_s = time.perf_counter() - t0
