@@ -1,8 +1,15 @@
 """Multi-process (multi-host) training path: per-host input sharding
 disjointness/coverage, the process-local batch assembly in
-``mesh.shard_batch``, and the distributed-init gate (SURVEY.md §5.8 — the
-reference gets this from Lightning DDP, README.md:149-156)."""
+``mesh.shard_batch``, the distributed-init gate, and a REAL 2-process x
+4-CPU-device run through ``jax.distributed.initialize`` asserted against
+the single-process 8-device trajectory (SURVEY.md §5.8 — the reference
+gets this from Lightning DDP, README.md:149-156)."""
 
+import json
+import os
+import socket
+import subprocess
+import sys
 import types
 
 import numpy as np
@@ -133,3 +140,71 @@ def test_maybe_initialize_distributed_passes_explicit_args(monkeypatch):
     assert seen == {"coordinator_address": "h:1", "num_processes": 4,
                     "process_id": 2}
     mesh_mod._dist_initialized = False  # leave module state clean
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_run_matches_single_process(tmp_path):
+    """REAL multi-process execution: 2 subprocesses x 4 forced CPU devices,
+    ``jax.distributed.initialize`` via a local coordinator, per-process
+    ``ClipLoader`` shards assembled with
+    ``jax.make_array_from_process_local_data``, 3 optimizer steps — the
+    loss trajectory must match the single-process 8-device run on the same
+    global batches to f32 tolerance (only the collective implementation —
+    cross-process gloo vs in-process — differs)."""
+    from tests import _mp_common as C
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    port = _free_port()
+    outs, procs = [], []
+    for pid in range(2):
+        out = tmp_path / f"worker{pid}.json"
+        env = dict(
+            os.environ,
+            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=4",
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "tests._mp_worker", str(out)],
+            env=env, cwd=repo,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+        outs.append(out)
+    logs = []
+    try:
+        for p in procs:
+            logs.append(p.communicate(timeout=1200)[0])
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("multi-process workers timed out:\n" + "\n".join(logs))
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log}"
+
+    results = [json.loads(o.read_text()) for o in outs]
+    by_pid = {r["process_index"]: r["losses"] for r in results}
+    assert set(by_pid) == {0, 1}
+    # the replicated loss scalar must agree across processes
+    np.testing.assert_allclose(by_pid[0], by_pid[1], rtol=0, atol=0)
+
+    # single-process reference on this pytest process's 8 CPU devices,
+    # fed the SAME global batches (proc0 shard rows first — the order
+    # make_array_from_process_local_data assembles, since jax.devices()
+    # lists proc0's devices before proc1's)
+    from sam2_video_tpu.parallel import mesh as mesh_mod
+    l0, l1 = C.make_loader(0, 2), C.make_loader(1, 2)
+    ref_batches = [
+        jax.tree.map(lambda a, b: np.concatenate([np.asarray(a),
+                                                  np.asarray(b)]), b0, b1)
+        for _, b0, b1 in zip(range(C.STEPS), iter(l0), iter(l1))]
+    assert len(ref_batches) == C.STEPS
+    mesh = mesh_mod.make_mesh(num_data=8, num_model=1)
+    ref_losses = C.run_steps(mesh, ref_batches, process_local=False)
+    np.testing.assert_allclose(by_pid[0], ref_losses, rtol=2e-5)
