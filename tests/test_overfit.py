@@ -1,14 +1,17 @@
 """Single-clip overfit convergence — the reference's own smoke/convergence
-strategy (configs/overfit.yaml, SURVEY.md §4.2): train on one clip and watch
-the loss drop. Tiny image size + random init keeps it CPU-feasible."""
+strategy (configs/overfit.yaml, SURVEY.md §4.2): train on one clip and drive
+the TRACKED frames to near-perfect Dice from random init. Tiny image size
+keeps it CPU-feasible (~2 min)."""
 
 import numpy as np
 import pytest
 
 import jax
 
+from sam2_video_tpu.data.types import VideoClip
 from sam2_video_tpu.models import SAM2Config, VideoModelConfig
 from sam2_video_tpu.models import sam2 as sam2_mod
+from sam2_video_tpu.models.video_model import forward_train
 from sam2_video_tpu.training.losses import CORE_LOSS_KEY, LossConfig
 from sam2_video_tpu.training.loop import TrainState, make_train_step
 from sam2_video_tpu.training.optimizer import make_optimizer
@@ -22,9 +25,9 @@ def test_single_clip_overfit(rng):
     # train everything except the encoder so convergence is fast from random
     tm = ["memory_attention", "memory_encoder", "mask_decoder",
           "prompt_encoder"]
-    tx = make_optimizer(params, {"lr": 3e-4, "type": "AdamW",
+    tx = make_optimizer(params, {"lr": 1e-3, "type": "AdamW",
                                  "weight_decay": 0.0},
-                        {"enabled": False}, total_steps=100,
+                        {"enabled": False}, total_steps=150,
                         trainable_modules=tm, gradient_clip_val=1.0)
     mcfg = VideoModelConfig(sam2=cfg, prompt_type="mask")
     step = make_train_step(mcfg, LossConfig(type="bce"), tx,
@@ -33,11 +36,25 @@ def test_single_clip_overfit(rng):
     batch = make_batch(rng, cfg, T=2)
 
     losses = []
-    for _ in range(20):
+    for _ in range(150):
         state, metrics = step(state, batch)
         losses.append(float(metrics[CORE_LOSS_KEY]))
     assert np.isfinite(losses).all()
-    # loss must drop substantially on the fixed clip
-    assert losses[-1] < 0.6 * losses[0], losses
-    # and monotonically-ish: final < min of first three
+    # loss must drop substantially on the fixed clip...
+    assert losses[-1] < 0.1 * losses[0], losses[-1]
     assert losses[-1] < min(losses[:3])
+
+    # ...and the TRACKED (memory-propagated, un-prompted) frames must
+    # actually segment: binarized Dice vs GT on the real categories.
+    # Measured trajectory from random init: dice ~0.99 at step 100,
+    # ~1.0 at 150 — 0.9 leaves room for BLAS/platform jitter.
+    clip = VideoClip(**{k: np.asarray(getattr(batch, k))[0] for k in (
+        "images", "cat_masks", "obj_masks", "obj_to_cat",
+        "point_coords", "point_labels")})
+    _, per_cat = forward_train(state.params, mcfg, clip, training=False)
+    pred = np.asarray(per_cat["high_res_masks"])[:, :, 0] > 0  # [T, C, H, W]
+    gt = np.asarray(clip.cat_masks)
+    for c in range(2):  # make_batch populates categories 0 and 1
+        p, g = pred[1:, c], gt[1:, c]  # frames 1.. — tracked, not prompted
+        dice = 2 * (p & g).sum() / max(p.sum() + g.sum(), 1)
+        assert dice > 0.9, (c, dice)
