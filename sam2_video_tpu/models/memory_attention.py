@@ -92,14 +92,48 @@ def _perm_rows(p, perm):
     return out
 
 
+def prepare(p, cfg: MemoryAttentionConfig):
+    """Pre-apply the de-interleave row permutation to every q/k projection,
+    ONCE per forward. Under the fully-unrolled frame scan each trace of the
+    body re-emitted the [d_model, d_model] weight gathers and — worse — the
+    autodiff transpose emitted one scatter per frame per projection in the
+    backward (~1 ms/step measured round 3). Hoisting the permuted views above
+    the scan leaves a single gather/scatter pair per projection per step.
+    The permuted entries ride under ``_qp``/``_kp`` keys; apply() falls back
+    to permuting in place when they are absent (eval paths)."""
+    perm = deinterleave_perm(cfg.d_model, cfg.num_heads)
+    layers = {}
+    for i, lp in p["layers"].items():
+        lp = dict(lp)
+        lp["self_attn"] = {
+            **lp["self_attn"],
+            "_qp": _perm_rows(lp["self_attn"]["q_proj"], perm),
+            "_kp": _perm_rows(lp["self_attn"]["k_proj"], perm),
+        }
+        lp["cross_attn_image"] = {
+            **lp["cross_attn_image"],
+            "_qp": _perm_rows(lp["cross_attn_image"]["q_proj"], perm),
+            "_kp": _perm_rows(lp["cross_attn_image"]["k_proj"], perm),
+        }
+        layers[i] = lp
+    return {**p, "layers": layers}
+
+
+def _permed(ap, key, perm):
+    """Permuted view of projection ``key`` ('q_proj'/'k_proj'): the
+    prepare()-hoisted entry when present, else permute here."""
+    cached = ap.get("_qp" if key == "q_proj" else "_kp")
+    return cached if cached is not None else _perm_rows(ap[key], perm)
+
+
 def _self_attn(p, cfg, tgt, query_pos, rope_q, perm):
     """Self-attention with RoPE on both q and k (RoPEAttention, q==k length)."""
     tgt2 = nn.layer_norm(p["norm1"], tgt)
     qk_in = tgt2 + query_pos if cfg.pos_enc_at_attn else tgt2
     ap = p["self_attn"]
-    q = split_heads(nn.linear(_perm_rows(ap["q_proj"], perm), qk_in),
+    q = split_heads(nn.linear(_permed(ap, "q_proj", perm), qk_in),
                     cfg.num_heads)
-    k = split_heads(nn.linear(_perm_rows(ap["k_proj"], perm), qk_in),
+    k = split_heads(nn.linear(_permed(ap, "k_proj", perm), qk_in),
                     cfg.num_heads)
     v = split_heads(nn.linear(ap["v_proj"], tgt2), cfg.num_heads)
     cos, sin = rope_q
@@ -120,7 +154,7 @@ def _cross_attn(p, cfg, tgt, memory, query_pos, pos, rope_q, rope_k,
     q_in = tgt2 + query_pos if cfg.pos_enc_at_cross_attn_queries else tgt2
     k_in = memory + pos if cfg.pos_enc_at_cross_attn_keys else memory
     ap = p["cross_attn_image"]
-    q = split_heads(nn.linear(_perm_rows(ap["q_proj"], perm), q_in),
+    q = split_heads(nn.linear(_permed(ap, "q_proj", perm), q_in),
                     cfg.num_heads)
 
     if cfg.use_flash and cfg.num_heads == 1:
@@ -135,7 +169,7 @@ def _cross_attn(p, cfg, tgt, memory, query_pos, pos, rope_q, rope_k,
         if flash_kproj_eligible(q3, k_in, num_spatial_k, feat_hw):
             key_bias = (jnp.where(key_valid, 0.0, -1e9).astype(jnp.float32)
                         if key_valid is not None else None)
-            kp = _perm_rows(ap["k_proj"], perm)
+            kp = _permed(ap, "k_proj", perm)
             attn = flash_attention_kproj(
                 q3, k_in, memory, kp["weight"], kp["bias"], key_bias,
                 num_spatial_k, feat_hw,
@@ -144,7 +178,7 @@ def _cross_attn(p, cfg, tgt, memory, query_pos, pos, rope_q, rope_k,
             out = nn.linear(ap["out_proj"], attn)
             return tgt + out
 
-    k = split_heads(nn.linear(_perm_rows(ap["k_proj"], perm), k_in),
+    k = split_heads(nn.linear(_permed(ap, "k_proj", perm), k_in),
                     cfg.num_heads)
     # v-projection commute (single-head only): softmax rows sum to 1, so
     # P @ (m Wv + bv) == (P @ m) Wv + bv exactly. Attend against the RAW

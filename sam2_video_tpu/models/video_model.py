@@ -57,6 +57,13 @@ def forward_train(params, mcfg: VideoModelConfig, clip: VideoClip,
     F = cfg.feat_size
     C = cfg.d_model
 
+    # hoist the memory-attention weight permutation above the frame scan:
+    # one gather (fwd) / scatter (bwd) per projection per step instead of
+    # one per frame under the unrolled scan (memory_attention.prepare)
+    from . import memory_attention as memory_attention_mod
+    params = {**params, "memory_attention": memory_attention_mod.prepare(
+        params["memory_attention"], cfg.memory_attention_config)}
+
     # ---- 1. image encoder on all frames (the FLOPs-heavy batched part) ----
     backbone = sam2_mod.forward_image(params, cfg, clip.images)
     s0, s1, s16 = backbone["backbone_fpn"]          # [T,4F,4F,C/8] [T,2F,2F,C/4] [T,F,F,C]
