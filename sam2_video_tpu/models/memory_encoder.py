@@ -10,10 +10,12 @@ directly onto XLA's fused conv + matmul path.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import common as nn
 from ..ops.position_encoding import sine_pe_2d
@@ -54,6 +56,15 @@ def _mask_downsampler_init(key, cfg: MemoryEncoderConfig):
 
 
 def _mask_downsampler(p, cfg: MemoryEncoderConfig, x):
+    if (cfg.mask_downsampler_stride == 2 and cfg.mask_downsampler_kernel == 3
+            and cfg.mask_downsampler_padding == 1
+            and cfg.mask_downsampler_total_stride == 16
+            and x.shape[1] % 16 == 0 and x.shape[2] % 16 == 0):
+        return _mask_downsampler_s2d(p, cfg, x)
+    return _mask_downsampler_naive(p, cfg, x)
+
+
+def _mask_downsampler_naive(p, cfg: MemoryEncoderConfig, x):
     s = cfg.mask_downsampler_stride
     num_layers = int(math.log2(cfg.mask_downsampler_total_stride) // math.log2(s))
     enc = p["encoder"]
@@ -62,6 +73,91 @@ def _mask_downsampler(p, cfg: MemoryEncoderConfig, x):
         x = nn.conv2d(enc[str(idx)], x, stride=s,
                       padding=cfg.mask_downsampler_padding)
         x = nn.layer_norm_2d(enc[str(idx + 1)], x)
+        x = nn.gelu(x)
+        idx += 3
+    return nn.conv2d(enc[str(idx)], x)
+
+
+# --- space-to-depth formulation of the downsampler pyramid -----------------
+#
+# The naive pyramid runs four stride-2 convs whose channel counts (1, 4, 16,
+# 64) are far below the TPU's 128-lane tile, so XLA pads the minor dim (or
+# worse, puts the batch of 8 objects in lanes): the 21-MFLOP first conv
+# measured 1.9 ms/step — ~300x off the bandwidth roofline — plus ~2 ms of
+# layout shuffles around it (round-3 trace). The TPU-native formulation
+# keeps every intermediate at the FINAL 1/16 resolution with phases packed
+# into the lane dim: the input space-to-depths to [N, H/16, W/16, 256] once,
+# and each k3/s2 conv becomes a dense 2x2x256x256 conv at that fixed shape —
+# exact same linear map (each output element receives precisely its nine
+# taps, routed by a static phase map), perfect MXU shapes, zero strided
+# access. LayerNorm/GELU run in the packed domain by regrouping lanes as
+# [channel, phase]. The effective 2x2 kernels are derived from the canonical
+# 3x3 weights by a constant-0/1 einsum, so the whole path is differentiable
+# back to the checkpoint-layout parameters and the converter is untouched.
+
+
+@functools.lru_cache(maxsize=None)
+def _phase_route(g_in: int, g_out: int) -> np.ndarray:
+    """R[h, ri, ro, a] = 1 iff input phase ri (of a g_in-phase axis) feeds
+    output phase ro (of g_out) through tap a of a k3/s2/p1 conv, with block
+    offset h-1 (h=0: previous s2d block, h=1: same block)."""
+    R = np.zeros((2, g_in, g_out, 3), np.float32)
+    for ro in range(g_out):
+        for a in range(3):
+            q = 2 * ro + a - 1
+            h = 0 if q < 0 else 1
+            R[h, q % g_in, ro, a] = 1.0
+    return R
+
+
+def _effective_weight(w: jnp.ndarray, g_in: int, g_out: int) -> jnp.ndarray:
+    """[3, 3, Cin, Cout] canonical kernel -> [2, 2, Cin*g_in^2, Cout*g_out^2]
+    packed-phase kernel (lane order: channel-major, then row phase, then
+    column phase — consistent across layers so no relayout between convs)."""
+    R = jnp.asarray(_phase_route(g_in, g_out))
+    weff = jnp.einsum("hpqa,wrsb,abio->hwiproqs", R, R, w)
+    cin, cout = w.shape[2], w.shape[3]
+    return weff.reshape(2, 2, cin * g_in * g_in, cout * g_out * g_out)
+
+
+def _packed_layer_norm(pln, x, channels: int, phases: int,
+                       eps: float = 1e-6):
+    """LayerNorm over the channel group of a phase-packed lane dim
+    (lane = c * phases + p): same math as nn.layer_norm_2d per spatial
+    site, computed at the packed 1/16-resolution layout."""
+    s = x.shape
+    xf = x.astype(jnp.float32).reshape(s[:-1] + (channels, phases))
+    # one-pass moments (var = E[x^2] - mu^2): halves the reduction passes
+    # over the packed tensor vs the two-pass form; the cancellation risk is
+    # negligible at LN activation scales and the equivalence test pins it
+    mu = xf.mean(axis=-2, keepdims=True)
+    var = jnp.mean(jnp.square(xf), axis=-2, keepdims=True) - jnp.square(mu)
+    var = jnp.maximum(var, 0.0)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    y = y * pln["weight"].reshape(channels, 1) + pln["bias"].reshape(
+        channels, 1)
+    return y.reshape(s).astype(x.dtype)
+
+
+def _mask_downsampler_s2d(p, cfg: MemoryEncoderConfig, x):
+    """x: [N, H, W, 1] -> [N, H/16, W/16, fuser_dim]; exact (up to float
+    reassociation) equivalent of _mask_downsampler_naive for the k3/s2/p1,
+    total-stride-16 geometry."""
+    N, H, W, _ = x.shape
+    ho, wo = H // 16, W // 16
+    x = x.reshape(N, ho, 16, wo, 16).transpose(0, 1, 3, 2, 4)
+    x = x.reshape(N, ho, wo, 256)
+    enc = p["encoder"]
+    geometry = ((1, 16, 4, 8), (4, 8, 16, 4), (16, 4, 64, 2), (64, 2, 256, 1))
+    idx = 0
+    for ci, gi, co, go in geometry:
+        cp = enc[str(idx)]
+        weff = _effective_weight(cp["weight"], gi, go).astype(x.dtype)
+        x = jax.lax.conv_general_dilated(
+            x, weff, window_strides=(1, 1), padding=((1, 0), (1, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        x = x + jnp.repeat(cp["bias"], go * go).astype(x.dtype)
+        x = _packed_layer_norm(enc[str(idx + 1)], x, co, go * go)
         x = nn.gelu(x)
         idx += 3
     return nn.conv2d(enc[str(idx)], x)

@@ -166,3 +166,47 @@ def test_memory_fusion_mask_invariance(tiny_params, rng):
     per_obj, _ = forward_train(params, mcfg, clip)
     m = np.asarray(per_obj["high_res_multimasks"])
     assert not np.allclose(m[1], m[0])
+
+
+def test_mask_downsampler_s2d_matches_naive(rng):
+    """The space-to-depth downsampler is the same linear-map pyramid as the
+    naive stride-2 conv stack (memory_encoder._mask_downsampler_s2d) — same
+    values up to float reassociation, and same gradients w.r.t. the
+    canonical checkpoint-layout weights."""
+    from sam2_video_tpu.models import memory_encoder as me
+
+    cfg = me.MemoryEncoderConfig()
+    p = me.init(jax.random.PRNGKey(3), cfg)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 1)), jnp.float32)
+
+    got = me._mask_downsampler_s2d(p["mask_downsampler"], cfg, x)
+    want = me._mask_downsampler_naive(p["mask_downsampler"], cfg, x)
+    assert got.shape == want.shape == (2, 4, 4, 256)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-4)
+
+    def loss(fn, params):
+        return jnp.sum(jnp.sin(fn(params, cfg, x)))
+
+    g_s2d = jax.grad(lambda q: loss(
+        lambda pp, c, xx: me._mask_downsampler_s2d(pp, c, xx),
+        q))(p["mask_downsampler"])
+    g_ref = jax.grad(lambda q: loss(
+        lambda pp, c, xx: me._mask_downsampler_naive(pp, c, xx),
+        q))(p["mask_downsampler"])
+    flat_a = jax.tree.leaves(g_s2d)
+    flat_b = jax.tree.leaves(g_ref)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4)
+
+
+def test_mask_downsampler_s2d_gate_falls_back(rng):
+    """Non-divisible spatial sizes route through the naive path."""
+    from sam2_video_tpu.models import memory_encoder as me
+
+    cfg = me.MemoryEncoderConfig()
+    p = me.init(jax.random.PRNGKey(3), cfg)
+    x = jnp.asarray(rng.standard_normal((1, 40, 40, 1)), jnp.float32)
+    out = me._mask_downsampler(p["mask_downsampler"], cfg, x)
+    assert out.shape == (1, 3, 3, 256)  # 40/16 rounds via the conv stack
