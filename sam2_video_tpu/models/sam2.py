@@ -496,11 +496,13 @@ def fuse_memory(p, cfg: SAM2Config, layout: MemoryLayout,
     curr_pos:       [HW, C]      sine PE of the feature grid
     spatial_mem:    [M, O, HW, mem_dim]  slot 0 = conditioning frame,
                                          slot j>=1 = frame (j) steps back
-    spatial_valid:  [M] bool
+    spatial_valid:  [M] bool, or None when every slot is statically valid
+                    (the unrolled static-prefix path slices the bank
+                    instead of masking)
     mem_pos_spatial:[HW, mem_dim]  per-slot spatial sine PE (shared)
     tpos_index:     [M] int  index into maskmem_tpos_enc per slot
     obj_ptrs:       [P, O, C]  pointer slots (0 = conditioning pointer)
-    ptr_valid:      [P] bool
+    ptr_valid:      [P] bool, or None when all statically valid
     ptr_tpos:       [P] float  temporal distances (already signed)
     Returns [O, HW, C].
     """
@@ -515,7 +517,8 @@ def fuse_memory(p, cfg: SAM2Config, layout: MemoryLayout,
     memory = spatial_mem.transpose(1, 0, 2, 3).reshape(O, M * HW, mem_dim)
     memory_pos = mem_pos.transpose(1, 0, 2, 3).reshape(O, M * HW, mem_dim)
 
-    token_valid = jnp.repeat(spatial_valid, HW)  # [M*HW]
+    token_valid = (jnp.repeat(spatial_valid, HW)
+                   if spatial_valid is not None else None)  # [M*HW]
 
     if layout.num_ptrs > 0:
         P, tpp = layout.num_ptrs, layout.tokens_per_ptr
@@ -535,8 +538,12 @@ def fuse_memory(p, cfg: SAM2Config, layout: MemoryLayout,
         ptr_pos = jnp.broadcast_to(ptr_pos[None], (O, P * tpp, mem_dim))
         memory = jnp.concatenate([memory, ptr_tok], axis=1)
         memory_pos = jnp.concatenate([memory_pos, ptr_pos], axis=1)
-        token_valid = jnp.concatenate(
-            [token_valid, jnp.repeat(ptr_valid, tpp)])
+        if token_valid is not None or ptr_valid is not None:
+            token_valid = jnp.concatenate([
+                (token_valid if token_valid is not None
+                 else jnp.ones((layout.num_spatial_tokens,), bool)),
+                (jnp.repeat(ptr_valid, tpp) if ptr_valid is not None
+                 else jnp.ones((P * tpp,), bool))])
 
     def _attend(cf, mem, mem_p):
         return memory_attention_mod.apply(

@@ -131,34 +131,22 @@ def forward_train(params, mcfg: VideoModelConfig, clip: VideoClip,
                                     remat_mode="none")
                 if remat_mode in ("body", "body_dots") else cfg)
 
-    tpos_index = jnp.concatenate([
+    tpos_index_full = jnp.concatenate([
         jnp.asarray([cfg.num_maskmem - 1]), jnp.arange(R)])  # [M]
+    # the pointer tpos normalizer must stay the FULL clip's pointer budget
+    # even when a frame attends a shorter static prefix (parity with the
+    # fixed-shape path / reference sam2_base.py:655-666)
+    t_diff_max = max(layout.num_ptrs - 1, 1)
 
-    def body(carry, xs):
-        noncond_mem, noncond_ptr = carry
-        t, s16_t, s0_t, s1_t = xs
-        tf = t.astype(jnp.float32)
-
-        spatial_mem = jnp.concatenate([cond_mem[None], noncond_mem], axis=0)
-        ring_idx = jnp.arange(R)
-        spatial_valid = jnp.concatenate(
-            [jnp.asarray([True]), ring_idx <= t - 2])
-        if Pn > 0:
-            obj_ptrs = jnp.concatenate([cond_ptr[None], noncond_ptr], axis=0)
-            pidx = jnp.arange(Pn)
-            ptr_valid = jnp.concatenate([jnp.asarray([True]), pidx <= t - 2])
-            ptr_tpos = jnp.concatenate(
-                [tf[None], (pidx + 1).astype(jnp.float32)])
-        else:
-            obj_ptrs = jnp.zeros((0, O, C), jnp.float32)
-            ptr_valid = jnp.zeros((0,), bool)
-            ptr_tpos = jnp.zeros((0,), jnp.float32)
-
+    def _frame_step(layout_t, s16_t, s0_t, s1_t, spatial_mem, spatial_valid,
+                    tpos_index, obj_ptrs, ptr_valid, ptr_tpos):
+        """One tracked frame: fuse memory, SAM heads, encode new memory.
+        Shared by the lax.scan body and the static-prefix unrolled loop."""
         curr = _broadcast_obj(s16_t.reshape(HW, C), O)
         fused = sam2_mod.fuse_memory(
-            params, body_cfg, layout, curr, curr_pos, spatial_mem,
-            spatial_valid, mem_pos, tpos_index, obj_ptrs, ptr_valid, ptr_tpos,
-            training=training)
+            params, body_cfg, layout_t, curr, curr_pos, spatial_mem,
+            spatial_valid, mem_pos, tpos_index, obj_ptrs, ptr_valid,
+            ptr_tpos, training=training, t_diff_max=t_diff_max)
         fused = fused.reshape(O, F, F, C)
 
         hr = (_broadcast_obj(s0_t, O), _broadcast_obj(s1_t, O))
@@ -172,28 +160,105 @@ def forward_train(params, mcfg: VideoModelConfig, clip: VideoClip,
             out_t["object_score_logits"], training=training,
             apply_non_overlap=cfg.non_overlap_masks_for_mem_enc)
         new_mem = new_mem.reshape(O, HW, cfg.mem_dim).astype(bank_dt)
+        new_ptr = out_t["obj_ptr"].astype(bank_dt)
+        return new_mem, new_ptr, _loss_outputs(out_t)
 
-        # push into the ring buffers; stop_gradient == reference .detach()
-        noncond_mem = detach(
-            jnp.concatenate([new_mem[None], noncond_mem[:-1]], axis=0))
-        if Pn > 0:
-            noncond_ptr = detach(jnp.concatenate(
-                [out_t["obj_ptr"].astype(bank_dt)[None], noncond_ptr[:-1]],
-                axis=0))
-        return (noncond_mem, noncond_ptr), _loss_outputs(out_t)
+    if remat_mode in ("none", "modules") and cfg.scan_unroll == 0:
+        # ---- static-prefix unrolled loop (the default/fastest path) ----
+        # With the loop unrolled in Python, the frame index is static, so
+        # each frame attends over exactly its VALID memory prefix instead of
+        # the full ring with -1e9-biased invalid slots: frames 1..6 of a
+        # 10-frame clip shrink from 7 to 1..6 spatial slots (42/63 of the
+        # cross-attention key work clip-wide). Bit-equivalent to the masked
+        # fixed-shape path up to f32 reassociation — masked keys contribute
+        # exactly zero probability. The ring buffers become Python lists
+        # (newest first), so slot j still holds the frame (j+1) steps back
+        # and the tpos index stays the slot index.
+        mem_list: list = []
+        ptr_list: list = []
+        outs = []
+        for t in range(1, T):
+            n_slots = min(t - 1, R)
+            spatial_mem = jnp.concatenate(
+                [cond_mem[None]] + [m[None] for m in mem_list[:n_slots]],
+                axis=0)
+            tpos_index = jnp.concatenate([
+                jnp.asarray([cfg.num_maskmem - 1]), jnp.arange(n_slots)])
+            if Pn > 0:
+                n_ptr = min(t - 1, Pn)
+                obj_ptrs = jnp.concatenate(
+                    [cond_ptr[None]] + [q[None] for q in ptr_list[:n_ptr]],
+                    axis=0)
+                ptr_tpos = jnp.asarray(
+                    [float(t)] + [float(i + 1) for i in range(n_ptr)],
+                    jnp.float32)
+                lay_ptrs = 1 + n_ptr
+            else:
+                obj_ptrs = jnp.zeros((0, O, C), jnp.float32)
+                ptr_tpos = jnp.zeros((0,), jnp.float32)
+                lay_ptrs = 0
+            layout_t = sam2_mod.MemoryLayout(
+                num_maskmem=1 + n_slots, tokens_per_slot=HW,
+                num_ptrs=lay_ptrs, tokens_per_ptr=layout.tokens_per_ptr)
+            new_mem, new_ptr, outs_t = _frame_step(
+                layout_t, s16[t], s0[t], s1[t], spatial_mem, None,
+                tpos_index, obj_ptrs, None, ptr_tpos)
+            mem_list = [detach(new_mem)] + mem_list[:R - 1]
+            if Pn > 0:
+                ptr_list = [detach(new_ptr)] + ptr_list[:Pn - 1]
+            outs.append(outs_t)
+        ys = jax.tree.map(lambda *a: jnp.stack(a), *outs)
+    else:
+        # ---- fixed-shape lax.scan path (remat / bounded-unroll modes) ----
+        def body(carry, xs):
+            noncond_mem, noncond_ptr = carry
+            t, s16_t, s0_t, s1_t = xs
+            tf = t.astype(jnp.float32)
 
-    carry0 = (jnp.zeros((R, O, HW, cfg.mem_dim), bank_dt),
-              jnp.zeros((Pn, O, C), bank_dt))
-    xs = (jnp.arange(1, T), s16[1:], s0[1:], s1[1:])
-    if remat_mode == "body":
-        body = jax.checkpoint(body)
-    elif remat_mode == "body_dots":
-        body = jax.checkpoint(
-            body,
-            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
-    _, ys = jax.lax.scan(body, carry0, xs,
-                         unroll=(cfg.scan_unroll if cfg.scan_unroll > 0
-                                 else True))
+            spatial_mem = jnp.concatenate([cond_mem[None], noncond_mem],
+                                          axis=0)
+            ring_idx = jnp.arange(R)
+            spatial_valid = jnp.concatenate(
+                [jnp.asarray([True]), ring_idx <= t - 2])
+            if Pn > 0:
+                obj_ptrs = jnp.concatenate([cond_ptr[None], noncond_ptr],
+                                           axis=0)
+                pidx = jnp.arange(Pn)
+                ptr_valid = jnp.concatenate(
+                    [jnp.asarray([True]), pidx <= t - 2])
+                ptr_tpos = jnp.concatenate(
+                    [tf[None], (pidx + 1).astype(jnp.float32)])
+            else:
+                obj_ptrs = jnp.zeros((0, O, C), jnp.float32)
+                ptr_valid = jnp.zeros((0,), bool)
+                ptr_tpos = jnp.zeros((0,), jnp.float32)
+
+            new_mem, new_ptr, outs_t = _frame_step(
+                layout, s16_t, s0_t, s1_t, spatial_mem, spatial_valid,
+                tpos_index_full, obj_ptrs, ptr_valid, ptr_tpos)
+
+            # push into the ring buffers; stop_gradient == reference
+            # .detach()
+            noncond_mem = detach(
+                jnp.concatenate([new_mem[None], noncond_mem[:-1]], axis=0))
+            if Pn > 0:
+                noncond_ptr = detach(jnp.concatenate(
+                    [new_ptr[None], noncond_ptr[:-1]], axis=0))
+            return (noncond_mem, noncond_ptr), outs_t
+
+        carry0 = (jnp.zeros((R, O, HW, cfg.mem_dim), bank_dt),
+                  jnp.zeros((Pn, O, C), bank_dt))
+        xs = (jnp.arange(1, T), s16[1:], s0[1:], s1[1:])
+        if remat_mode == "body":
+            body = jax.checkpoint(body)
+        elif remat_mode == "body_dots":
+            body = jax.checkpoint(
+                body,
+                policy=jax.checkpoint_policies
+                .dots_with_no_batch_dims_saveable)
+        _, ys = jax.lax.scan(body, carry0, xs,
+                             unroll=(cfg.scan_unroll if cfg.scan_unroll > 0
+                                     else True))
 
     per_obj = jax.tree.map(
         lambda a, b: jnp.concatenate([a[None], b], axis=0),
