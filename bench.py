@@ -12,7 +12,8 @@ Prints ONE JSON line with the headline metric plus honesty fields:
   step (lowered HLO, no extra device compile): cost analysis does NOT count
   custom-call (Pallas) FLOPs, so analysing the executed flash program would
   undercount the memory cross-attention — the model's single largest FLOP
-  block (~2.2 TFLOP/step of the measured 3.66 TFLOP total).
+  block (~1.5 TFLOP/step of the measured 3.27 TFLOP total under
+  the static-prefix loop; see docs/DESIGN.md §3a).
   ``peak_flops_assumed``
   names the denominator: 197e12 (TPU v5e bf16) unless TPU_PEAK_FLOPS is
   set — the tunnel backend does not expose the chip model.
