@@ -82,8 +82,11 @@ class COCOIndex:
 
     # -- frame loading ------------------------------------------------------
 
-    def load_image(self, idx: int, image_root: str | None = None) -> np.ndarray:
-        """-> [S, S, 3] f32 normalized."""
+    def load_image(self, idx: int, image_root: str | None = None,
+                   normalize: bool = True) -> np.ndarray:
+        """-> [S, S, 3] f32 ImageNet-normalized, or raw uint8 when
+        ``normalize=False`` (the device normalizes in that contract —
+        4x less host->device traffic; sam2.forward_image)."""
         info = self.images[idx]
         path = info.get("path") or info["file_name"]
         if image_root is not None:
@@ -96,6 +99,8 @@ class COCOIndex:
         img = img.resize((nw, nh), Image.BILINEAR)
         left, top = center_crop_box(nw, nh, s)
         img = img.crop((left, top, left + s, top + s))
+        if not normalize:
+            return np.asarray(img, np.uint8)
         arr = np.asarray(img, np.float32) / 255.0
         return (arr - IMAGENET_MEAN) / IMAGENET_STD
 

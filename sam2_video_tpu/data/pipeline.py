@@ -34,6 +34,9 @@ class ClipDatasetConfig:
     num_neg_points: int = 0
     include_center: bool = True
     image_root: str | None = None
+    # upload raw uint8 frames and normalize on device (sam2.forward_image
+    # dtype-dispatches): 4x less image H2D traffic, bit-identical math
+    uint8_images: bool = True
 
 
 class ClipDataset:
@@ -62,7 +65,9 @@ class ClipDataset:
         clip = self.clips[i]
         frame_idxs = [self._resolve_frame(j) for j in clip["image_indices"]]
         images = np.stack([
-            self.index.load_image(j, cfg.image_root) for j in frame_idxs])
+            self.index.load_image(j, cfg.image_root,
+                                  normalize=not cfg.uint8_images)
+            for j in frame_idxs])
         cat_masks = np.stack([
             self.index.load_masks(self.index.images[j]["id"])
             for j in frame_idxs])  # [T, C, H, W]
@@ -76,7 +81,8 @@ class ClipDataset:
                 obj_masks, cfg.num_pos_points, cfg.num_neg_points,
                 cfg.include_center, rng)
         return {
-            "images": images.astype(np.float32),
+            "images": images if cfg.uint8_images
+            else images.astype(np.float32),
             "cat_masks": cat_masks,
             "obj_masks": obj_masks,
             "obj_to_cat": obj_to_cat,

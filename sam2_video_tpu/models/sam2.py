@@ -250,9 +250,15 @@ def init(key, cfg: SAM2Config):
 
 
 def forward_image(p, cfg: SAM2Config, images: jnp.ndarray):
-    """images: [B, H, W, 3] (normalized) -> dict with the three FPN levels
+    """images: [B, H, W, 3] f32 ImageNet-normalized, or raw uint8 (the
+    compact H2D contract — normalized here on device with the exact host
+    arithmetic, data/coco.py:26-27). -> dict with the three FPN levels
     (strides 4, 8, 16) where levels 0/1 are already projected by the mask
     decoder's conv_s0/conv_s1 (sam2_base.py:497-506), plus the sine PEs."""
+    if images.dtype == jnp.uint8:
+        from ..data.coco import IMAGENET_MEAN, IMAGENET_STD
+        images = (images.astype(jnp.float32) / 255.0
+                  - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
     images = images.astype(cfg.dtype())
     out = image_encoder_mod.apply(p["image_encoder"], images,
                                   cfg.image_encoder_config)

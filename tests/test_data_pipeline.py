@@ -102,3 +102,43 @@ def test_loader_determinism(dataset_path):
     b = next(iter(ClipLoader(ds, batch_size=1, seed=7)))
     np.testing.assert_array_equal(a.images, b.images)
     np.testing.assert_array_equal(a.point_coords, b.point_coords)
+
+
+def test_uint8_image_contract_matches_f32(tmp_path):
+    """uint8 frames + device-side normalization produce the same normalized
+    tensor as the host f32 path (the compact H2D contract)."""
+    import jax.numpy as jnp
+
+    from sam2_video_tpu.data.synthetic import make_synthetic_dataset
+    from sam2_video_tpu.data import coco as coco_mod
+
+    json_path = make_synthetic_dataset(
+        str(tmp_path / "ds"), num_videos=1, frames_per_video=2,
+        image_hw=(96, 128), num_categories=2)
+    index = coco_mod.COCOIndex(json_path, image_size=64)
+    f32 = index.load_image(0)
+    u8 = index.load_image(0, normalize=False)
+    assert u8.dtype == np.uint8
+    dev = (jnp.asarray(u8).astype(jnp.float32) / 255.0
+           - jnp.asarray(coco_mod.IMAGENET_MEAN)) / \
+        jnp.asarray(coco_mod.IMAGENET_STD)
+    np.testing.assert_allclose(np.asarray(dev), f32, atol=1e-6)
+
+
+def test_loader_emits_uint8_by_default(tmp_path):
+    from sam2_video_tpu.data.synthetic import make_synthetic_dataset
+    from sam2_video_tpu.data import coco as coco_mod
+    from sam2_video_tpu.data.pipeline import (ClipDataset, ClipDatasetConfig,
+                                              ClipLoader)
+
+    json_path = make_synthetic_dataset(
+        str(tmp_path / "ds"), num_videos=1, frames_per_video=4,
+        image_hw=(96, 128), num_categories=2)
+    index = coco_mod.COCOIndex(json_path, image_size=64)
+    ds = ClipDataset(index, ClipDatasetConfig(clip_length=2, stride=2))
+    batch = next(iter(ClipLoader(ds, num_workers=1, shuffle=False)))
+    assert batch.images.dtype == np.uint8
+    ds32 = ClipDataset(index, ClipDatasetConfig(clip_length=2, stride=2,
+                                                uint8_images=False))
+    b32 = next(iter(ClipLoader(ds32, num_workers=1, shuffle=False)))
+    assert b32.images.dtype == np.float32

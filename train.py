@@ -90,7 +90,8 @@ def main(argv=None):
         num_pos_points=int(cfg.model.get("num_pos_points", 1)),
         num_neg_points=int(cfg.model.get("num_neg_points", 0)),
         include_center=bool(cfg.model.get("include_center", True)),
-        image_root=cfg.data.get("image_root"))
+        image_root=cfg.data.get("image_root"),
+        uint8_images=bool(cfg.data.get("uint8_images", True)))
     batch_size = int(cfg.data.get("batch_size", 1))  # GLOBAL batch
     num_devices = int(cfg.trainer.get("devices", 1))
     if distributed:
