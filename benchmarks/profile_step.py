@@ -64,6 +64,7 @@ def _aggregate_trace(outdir: str):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--trainable", default="mem", choices=["mem", "all"])
+    ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--outdir", default="/tmp/sam2_trace")
     ap.add_argument("--top", type=int, default=40)
@@ -85,7 +86,7 @@ def main():
                  if args.trainable == "mem" else
                  ["memory_attention", "memory_encoder", "mask_decoder",
                   "prompt_encoder", "image_encoder"])
-    step, state, batch = _build_step(1, "none", trainable)
+    step, state, batch = _build_step(args.batch, "none", trainable)
     compiled = step.lower(state, batch).compile()
 
     # cost analysis on the compiled program (works on axon, CLAUDE.md)

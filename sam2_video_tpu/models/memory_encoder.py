@@ -202,13 +202,39 @@ def init(key, cfg: MemoryEncoderConfig):
     return p
 
 
-def apply(p, cfg: MemoryEncoderConfig, pix_feat, masks):
+def apply(p, cfg: MemoryEncoderConfig, pix_feat, masks,
+          allow_fused: bool = True):
     """pix_feat: [B, H16, W16, C]; masks: [B, H, W, 1] *already* passed through
     scaled sigmoid (the SAM2 recurrence always pre-applies sigmoid scale/bias,
     sam2_base.py:736-750, so skip_mask_sigmoid=True parity).
 
+    ``allow_fused``: route through the single-program Pallas kernel
+    (ops/memory_encoder_kernel.py) at the default geometry. The caller must
+    clear this when gradients can flow through the output (full-BPTT
+    training) — the kernel has no VJP because under the reference's
+    per-entry detach semantics none is ever needed.
+
     Returns (memory features [B, H16, W16, out_dim], pos enc [H16, W16, out_dim]).
     """
+    from ..ops.memory_encoder_kernel import (fused_memory_encoder,
+                                             fused_memory_encoder_eligible)
+
+    feat_hw = pix_feat.shape[1:3]
+    if allow_fused and fused_memory_encoder_eligible(
+            cfg, masks.shape[1:3], feat_hw):
+        # cut tangents at the kernel boundary: every gradient path through
+        # the encoder is already dead (the output's only consumer is the
+        # detached bank — the allow_fused contract), so stopping gradients
+        # here changes nothing numerically but keeps autodiff linearization
+        # from demanding a JVP rule for the pallas_call
+        p = jax.lax.stop_gradient(p)
+        pix_feat = jax.lax.stop_gradient(pix_feat)
+        masks = jax.lax.stop_gradient(masks)
+        pix_proj = nn.conv2d(p["pix_feat_proj"], pix_feat)
+        x = fused_memory_encoder(p, cfg, pix_proj, masks)
+        pos = sine_pe_2d(x.shape[1], x.shape[2], cfg.num_pos_feats)
+        return x, pos
+
     m = _mask_downsampler(p["mask_downsampler"], cfg, masks)
     x = nn.conv2d(p["pix_feat_proj"], pix_feat)
     x = x + m

@@ -436,9 +436,17 @@ def encode_new_memory(p, cfg: SAM2Config, pix_feat, high_res_masks,
                     + cfg.sigmoid_bias_for_mem_enc)
     mask_nhwc = jnp.moveaxis(mask_for_mem, 1, -1).astype(cfg.dtype())
 
+    # The fused Pallas memory encoder has no VJP: it is safe exactly when no
+    # cotangent can reach its output — always at eval, and in training when
+    # the bank entries are detached (the reference's semantics,
+    # sam2model.py:345-358: the output's ONLY consumer is the detached bank,
+    # so the encoder's backward does not exist in the compiled program).
+    allow_fused = (not training) or cfg.detach_memory_bank
+
     def _enc(pf, m):
         return memory_encoder_mod.apply(
-            p["memory_encoder"], cfg.memory_encoder_config, pf, m)
+            p["memory_encoder"], cfg.memory_encoder_config, pf, m,
+            allow_fused=allow_fused)
 
     if cfg.resolved_remat_mode() != "none" and training:
         _enc = jax.checkpoint(_enc)

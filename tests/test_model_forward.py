@@ -201,6 +201,40 @@ def test_mask_downsampler_s2d_matches_naive(rng):
                                    atol=5e-4, rtol=5e-4)
 
 
+def test_memory_encoder_kernel_matches_xla(rng):
+    """The fused Pallas memory encoder (ops/memory_encoder_kernel.py) equals
+    the XLA downsampler+fuser path up to float reassociation. Runs the kernel
+    in interpret mode on CPU (the TPU-compiled path was verified bit-close on
+    hardware; see the kernel docstring)."""
+    from sam2_video_tpu.models import memory_encoder as me
+    from sam2_video_tpu.ops import common as nn
+    from sam2_video_tpu.ops.memory_encoder_kernel import fused_memory_encoder
+
+    cfg = me.MemoryEncoderConfig()
+    p = me.init(jax.random.PRNGKey(3), cfg)
+    # break the zero/constant LN + bias initializations so the comparison is
+    # not trivially symmetric
+    leaves, treedef = jax.tree.flatten(p)
+    keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    p = jax.tree.unflatten(treedef, [
+        a + 0.05 * jax.random.normal(k, a.shape, a.dtype)
+        for a, k in zip(leaves, keys)])
+
+    N, S = 2, 128  # feat 8x8 — the smallest eligible geometry
+    pix = jnp.asarray(rng.standard_normal((N, S // 16, S // 16, 256)),
+                      jnp.float32)
+    masks = jnp.asarray(
+        20.0 / (1.0 + np.exp(-rng.standard_normal((N, S, S, 1)))) - 10.0,
+        jnp.float32)
+
+    want, _ = me.apply(p, cfg, pix, masks, allow_fused=False)
+    pix_proj = nn.conv2d(p["pix_feat_proj"], pix)
+    got = fused_memory_encoder(p, cfg, pix_proj, masks)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-4)
+
+
 def test_mask_downsampler_s2d_gate_falls_back(rng):
     """Non-divisible spatial sizes route through the naive path."""
     from sam2_video_tpu.models import memory_encoder as me
