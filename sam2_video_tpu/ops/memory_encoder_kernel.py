@@ -87,40 +87,53 @@ def _group_mean_mat(channels: int, phases: int) -> np.ndarray:
 
 
 def _shift2d(xp, di: int, dj: int, h: int, w: int):
-    """Static [h, w, C] window of the zero-padded [h+pad, w+pad, C] plane."""
+    """Static [G, h, w, C] window of the zero-padded [G, h+p, w+p, C] plane."""
+    G, _, _, C = xp.shape
     return jax.lax.slice(
-        xp, (di, dj, 0), (di + h, dj + w, xp.shape[-1]))
+        xp, (0, di, dj, 0), (G, di + h, dj + w, C))
 
 
-def _zero_pad2d(x, before: int, after: int, h: int, w: int, C: int):
-    """Zero-pad the two spatial dims (Mosaic-friendly: concatenations of
-    zero blocks — dynamic_update_slice has no TPU lowering)."""
-    rows = [jnp.zeros((before, w, C), x.dtype), x]
+def _zero_pad2d(x, before: int, after: int):
+    """Zero-pad the two spatial dims of [G, h, w, C] (Mosaic-friendly:
+    concatenations of zero blocks — dynamic_update_slice has no TPU
+    lowering)."""
+    G, h, w, C = x.shape
+    rows = [jnp.zeros((G, before, w, C), x.dtype), x]
     if after:
-        rows.append(jnp.zeros((after, w, C), x.dtype))
-    xp = jnp.concatenate(rows, axis=0) if len(rows) > 1 else x
+        rows.append(jnp.zeros((G, after, w, C), x.dtype))
+    xp = jnp.concatenate(rows, axis=1)
     hp = before + h + after
-    cols = [jnp.zeros((hp, before, C), x.dtype), xp]
+    cols = [jnp.zeros((G, hp, before, C), x.dtype), xp]
     if after:
-        cols.append(jnp.zeros((hp, after, C), x.dtype))
-    return jnp.concatenate(cols, axis=1)
+        cols.append(jnp.zeros((G, hp, after, C), x.dtype))
+    return jnp.concatenate(cols, axis=2)
 
 
-def _conv2x2(x, weff, bias, h, w):
+def _mm(x4, W, precision=None, out_dtype=jnp.float32):
+    """[G, h, w, Ci] @ [Ci, Co] -> [G, h, w, Co]. The (G, h, w) merge is
+    layout-preserving (G and h ride above the (w, C) tile; w % 8 == 0).
+    out_dtype=bf16 rounds the f32 MXU accumulator once at the output —
+    the same rounding point as the XLA path's plain einsum."""
+    G, h, w, Ci = x4.shape
+    y = jax.lax.dot_general(x4.reshape(G * h * w, Ci), W,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=out_dtype,
+                            precision=precision)
+    return y.reshape(G, h, w, W.shape[-1])
+
+
+def _conv2x2(x, weff, bias):
     """2x2 conv with padding ((1,0),(1,0)) as 4 shifted matmuls.
 
-    x: [h, w, 256] bf16; weff: [2, 2, 256, 256]; out [h, w, 256] f32."""
-    C = x.shape[-1]
-    xp = _zero_pad2d(x, 1, 0, h, w, C)
+    x: [G, h, w, 256] bf16; weff: [2, 2, 256, 256]; out [G, h, w, 256] f32."""
+    G, h, w, C = x.shape
+    xp = _zero_pad2d(x, 1, 0)
     acc = None
     for a in range(2):
         for b in range(2):
-            tap = _shift2d(xp, a, b, h, w).reshape(h * w, C)
-            y = jax.lax.dot_general(
-                tap, weff[a, b], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            y = _mm(_shift2d(xp, a, b, h, w), weff[a, b])
             acc = y if acc is None else acc + y
-    return acc.reshape(h, w, C) + bias.astype(jnp.float32)
+    return acc + bias.astype(jnp.float32)
 
 
 def _packed_ln_gelu(y32, mean_mat, scale, shift, eps=1e-6):
@@ -128,22 +141,16 @@ def _packed_ln_gelu(y32, mean_mat, scale, shift, eps=1e-6):
 
     y32: [h, w, 256] f32; mean_mat: [256, 256] f32; scale/shift: [256]
     lane-expanded LN weight/bias."""
-    h, w, C = y32.shape
-    y2 = y32.reshape(h * w, C)
     # HIGHEST: the moment dots run on f32 operands — the MXU's default
     # single-pass bf16 rounding loses ~1e-3 through the var cancellation,
     # which the normalization then amplifies layer over layer
-    mu = jax.lax.dot_general(y2, mean_mat, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)
-    ex2 = jax.lax.dot_general(jnp.square(y2), mean_mat,
-                              (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)
+    mu = _mm(y32, mean_mat, precision=jax.lax.Precision.HIGHEST)
+    ex2 = _mm(jnp.square(y32), mean_mat,
+              precision=jax.lax.Precision.HIGHEST)
     var = jnp.maximum(ex2 - jnp.square(mu), 0.0)
-    yn = (y2 - mu) * jax.lax.rsqrt(var + eps)
+    yn = (y32 - mu) * jax.lax.rsqrt(var + eps)
     yn = yn * scale.astype(jnp.float32) + shift.astype(jnp.float32)
-    return _gelu_f32(yn).reshape(h, w, C)
+    return _gelu_f32(yn)
 
 
 def _ln_full(y32, weight, bias, eps=1e-6):
@@ -166,23 +173,22 @@ def _kernel(ms_ref, pix_ref,
             p21_ref, q21_ref, g1_ref,
             wo_ref, bo_ref, o_ref, *, h, w, fk, out_dim):
     cdt = ms_ref.dtype
-    x = ms_ref[0]                                     # [h, w, 256] compute dt
+    x = ms_ref[:]                                # [G, h, w, 256] compute dt
 
     # ---- downsampler pyramid (packed-phase domain) ----
     for wr, br, mr, sr, tr in ((w0_ref, b0_ref, m0_ref, s0_ref, t0_ref),
                                (w1_ref, b1_ref, m1_ref, s1_ref, t1_ref),
                                (w2_ref, b2_ref, m2_ref, s2_ref, t2_ref),
                                (w3_ref, b3_ref, m3_ref, s3_ref, t3_ref)):
-        y32 = _conv2x2(x, wr[:], br[0], h, w)
-        x = _packed_ln_gelu(y32, mr[:], sr[0], tr[0]).astype(cdt)
+        # conv output drops to the compute dtype before the LN upcast —
+        # exactly the XLA path's dtype walk (conv bf16 -> LN f32 -> bf16)
+        y = _conv2x2(x, wr[:], br[0]).astype(cdt)
+        x = _packed_ln_gelu(y.astype(jnp.float32),
+                            mr[:], sr[0], tr[0]).astype(cdt)
 
     # final 1x1 conv to fuser_dim, then add the projected pixel features
-    C = x.shape[-1]
-    y = jax.lax.dot_general(x.reshape(h * w, C), wf_ref[:],
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    x = (y.reshape(h, w, C) + bf_ref[0].astype(jnp.float32)
-         + pix_ref[0].astype(jnp.float32)).astype(cdt)
+    x = (_mm(x, wf_ref[:]) + bf_ref[0].astype(jnp.float32)
+         + pix_ref[:].astype(jnp.float32)).astype(cdt)
 
     # ---- fuser: 2x ConvNeXt block ----
     pad = fk // 2
@@ -192,48 +198,63 @@ def _kernel(ms_ref, pix_ref,
             (dw1_ref, db1_ref, n1w_ref, n1b_ref, p11_ref, q11_ref,
              p21_ref, q21_ref, g1_ref)):
         inp = x
-        # depthwise fk x fk conv: 49 shifted VPU multiply-adds, f32 acc
-        xp = _zero_pad2d(x, pad, pad, h, w, C)
+        # depthwise fk x fk conv: fk^2 shifted VPU multiply-adds, f32 acc
+        G, _, _, C = x.shape
+        xp = _zero_pad2d(x, pad, pad)
         dw = dwr[:]                                   # [fk, fk, C]
-        acc = jnp.zeros((h, w, C), jnp.float32)
+        acc = jnp.zeros((G, h, w, C), jnp.float32)
         for a in range(fk):
             for b in range(fk):
                 acc += (_shift2d(xp, a, b, h, w).astype(jnp.float32)
                         * dw[a, b].astype(jnp.float32))
         y32 = acc + dbr[0].astype(jnp.float32)
         y32 = _ln_full(y32, nwr[0], nbr[0])
-        # pointwise MLP: 256 -> 1024 -> GELU -> 256, then layer scale
-        y2 = y32.astype(cdt).reshape(h * w, C)
-        hdn = jax.lax.dot_general(y2, p1r[:], (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-        hdn = _gelu_f32(hdn + q1r[0].astype(jnp.float32)).astype(cdt)
-        out = jax.lax.dot_general(hdn, p2r[:], (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
+        # pointwise MLP: 256 -> 1024 -> GELU -> 256, then layer scale.
+        # the 1024-wide hidden is processed in two 512-column halves so the
+        # f32 hidden never exceeds half its full footprint — the difference
+        # between G=2 and G=4 fitting in VMEM
+        y2 = y32.astype(cdt)
+        H = p1r.shape[-1]
+        out = None
+        for lo in range(0, H, H // 2):
+            hdn = _mm(y2, p1r[:, lo:lo + H // 2])
+            hdn = _gelu_f32(
+                hdn + q1r[0, lo:lo + H // 2].astype(jnp.float32)).astype(cdt)
+            part = _mm(hdn, p2r[lo:lo + H // 2, :])
+            out = part if out is None else out + part
         out = (out + q2r[0].astype(jnp.float32)) * gr[0].astype(jnp.float32)
-        x = (inp.astype(jnp.float32)
-             + out.reshape(h, w, C)).astype(cdt)
+        x = (inp.astype(jnp.float32) + out).astype(cdt)
 
     # ---- out projection 256 -> out_dim ----
-    yo = jax.lax.dot_general(x.reshape(h * w, C), wo_ref[:],
-                             (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    yo = yo + bo_ref[0].astype(jnp.float32)
-    o_ref[0] = yo.reshape(h, w, out_dim).astype(cdt)
+    yo = _mm(x, wo_ref[:]) + bo_ref[0].astype(jnp.float32)
+    o_ref[:] = yo.astype(cdt)
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "fk", "out_dim"))
 def _call(ms, pix, flat, h, w, fk, out_dim):
     N = ms.shape[0]
     C = ms.shape[-1]
-    per_n = [pl.BlockSpec((1, h, w, C), lambda n: (n, 0, 0, 0)),
-             pl.BlockSpec((1, h, w, C), lambda n: (n, 0, 0, 0))]
+    # G objects per program: one object leaves the op chain latency-bound
+    # (~60 small sequential MXU/VPU ops); batching rows amortizes each op's
+    # pipeline latency. Bounded by VMEM (~2.3k spatial rows keeps the pw1
+    # hidden + f32 accumulators + resident weights under budget).
+    # G=4 exceeds the 16 MB scoped-VMEM budget (measured 17.8M: padded
+    # dwconv copies + f32 accumulators + resident weights); G=2 fits and
+    # already amortizes most of the per-op pipeline latency
+    G = 1
+    for cand in (2,):
+        if N % cand == 0 and cand * h * w <= 2304:
+            G = cand
+            break
+    per_n = [pl.BlockSpec((G, h, w, C), lambda n: (n, 0, 0, 0)),
+             pl.BlockSpec((G, h, w, C), lambda n: (n, 0, 0, 0))]
     w_specs = [pl.BlockSpec(a.shape, lambda n, _nd=a.ndim: (0,) * _nd)
                for a in flat]
     return pl.pallas_call(
         functools.partial(_kernel, h=h, w=w, fk=fk, out_dim=out_dim),
-        grid=(N,),
+        grid=(N // G,),
         in_specs=per_n + w_specs,
-        out_specs=pl.BlockSpec((1, h, w, out_dim), lambda n: (n, 0, 0, 0)),
+        out_specs=pl.BlockSpec((G, h, w, out_dim), lambda n: (n, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((N, h, w, out_dim), ms.dtype),
         interpret=jax.default_backend() == "cpu",
     )(ms, pix, *flat)
