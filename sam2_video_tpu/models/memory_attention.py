@@ -127,19 +127,30 @@ def _permed(ap, key, perm):
 
 
 def _self_attn(p, cfg, tgt, query_pos, rope_q, perm):
-    """Self-attention with RoPE on both q and k (RoPEAttention, q==k length)."""
+    """Self-attention with RoPE on both q and k (RoPEAttention, q==k length).
+
+    The single-head case skips the head split/merge entirely — the swapaxes
+    in split_heads lowered to a real [O, 1, L, D] layout copy per frame per
+    layer (+0.6% step throughput, measured round 3). A merged-QKV single
+    projection and routing this block through the flash kernel were both
+    A/B-measured and LOSE at these shapes (576 q/k tokens, d=256): XLA's
+    three-dot fusion beats one wide dot + split, and the [576, 576] logits
+    fit VMEM so flash only adds custom-call overhead."""
     tgt2 = nn.layer_norm(p["norm1"], tgt)
-    qk_in = tgt2 + query_pos if cfg.pos_enc_at_attn else tgt2
     ap = p["self_attn"]
-    q = split_heads(nn.linear(_permed(ap, "q_proj", perm), qk_in),
-                    cfg.num_heads)
-    k = split_heads(nn.linear(_permed(ap, "k_proj", perm), qk_in),
-                    cfg.num_heads)
-    v = split_heads(nn.linear(ap["v_proj"], tgt2), cfg.num_heads)
+    qk_in = tgt2 + query_pos if cfg.pos_enc_at_attn else tgt2
+    q = nn.linear(_permed(ap, "q_proj", perm), qk_in)
+    k = nn.linear(_permed(ap, "k_proj", perm), qk_in)
+    v = nn.linear(ap["v_proj"], tgt2)
+    if cfg.num_heads > 1:
+        q, k, v = (split_heads(x, cfg.num_heads) for x in (q, k, v))
     cos, sin = rope_q
     q = apply_rope_half(q, cos, sin)
     k = apply_rope_half(k, cos, sin)
-    out = nn.linear(ap["out_proj"], merge_heads(sdpa(q, k, v)))
+    out = sdpa(q, k, v)
+    if cfg.num_heads > 1:
+        out = merge_heads(out)
+    out = nn.linear(ap["out_proj"], out)
     return tgt + out
 
 
@@ -154,8 +165,10 @@ def _cross_attn(p, cfg, tgt, memory, query_pos, pos, rope_q, rope_k,
     q_in = tgt2 + query_pos if cfg.pos_enc_at_cross_attn_queries else tgt2
     k_in = memory + pos if cfg.pos_enc_at_cross_attn_keys else memory
     ap = p["cross_attn_image"]
-    q = split_heads(nn.linear(_permed(ap, "q_proj", perm), q_in),
-                    cfg.num_heads)
+    # single-head: keep [*, Lq, D] — no head axis, no split/merge copies
+    q = nn.linear(_permed(ap, "q_proj", perm), q_in)
+    if cfg.num_heads > 1:
+        q = split_heads(q, cfg.num_heads)
 
     if cfg.use_flash and cfg.num_heads == 1:
         # fused path: K never materializes — the Pallas kernel streams the
@@ -165,7 +178,7 @@ def _cross_attn(p, cfg, tgt, memory, query_pos, pos, rope_q, rope_k,
         # token tensors from HBM (ops/flash_attention.py, round-3 profiling)
         from ..ops.flash_attention import (flash_attention_kproj,
                                            flash_kproj_eligible)
-        q3 = apply_rope_half(q[:, 0], *rope_q)
+        q3 = apply_rope_half(q, *rope_q)
         if flash_kproj_eligible(q3, k_in, num_spatial_k, feat_hw):
             key_bias = (jnp.where(key_valid, 0.0, -1e9).astype(jnp.float32)
                         if key_valid is not None else None)
@@ -178,8 +191,9 @@ def _cross_attn(p, cfg, tgt, memory, query_pos, pos, rope_q, rope_k,
             out = nn.linear(ap["out_proj"], attn)
             return tgt + out
 
-    k = split_heads(nn.linear(_permed(ap, "k_proj", perm), k_in),
-                    cfg.num_heads)
+    k = nn.linear(_permed(ap, "k_proj", perm), k_in)
+    if cfg.num_heads > 1:
+        k = split_heads(k, cfg.num_heads)
     # v-projection commute (single-head only): softmax rows sum to 1, so
     # P @ (m Wv + bv) == (P @ m) Wv + bv exactly. Attend against the RAW
     # kv_in_dim(=64) memories (zero-padded to the flash kernel's 128-lane
@@ -189,7 +203,7 @@ def _cross_attn(p, cfg, tgt, memory, query_pos, pos, rope_q, rope_k,
     # multiple heads each head would need its own P @ m, erasing the win.
     commute_v = cfg.num_heads == 1
     if commute_v:
-        v = split_heads(memory, 1)          # raw [B, 1, Lk, kv_in_dim]
+        v = memory                          # raw [B, Lk, kv_in_dim]
     else:
         v = split_heads(nn.linear(ap["v_proj"], memory), cfg.num_heads)
     q = apply_rope_half(q, *rope_q)
@@ -212,10 +226,14 @@ def _cross_attn(p, cfg, tgt, memory, query_pos, pos, rope_q, rope_k,
         else:
             attn = flash_attention(q, k, v, key_bias)
     else:
-        bias = (key_bias[None, None, None, :]
-                if key_bias is not None else None)
+        if key_bias is not None:
+            extra = q.ndim - 1 - key_bias.ndim
+            bias = key_bias.reshape((1,) * extra + (1,) + key_bias.shape)
+        else:
+            bias = None
         attn = sdpa(q, k, v, bias)
-    attn = merge_heads(attn)
+    if cfg.num_heads > 1:
+        attn = merge_heads(attn)
     if commute_v:
         attn = nn.linear(ap["v_proj"], attn)
     out = nn.linear(ap["out_proj"], attn)
