@@ -161,19 +161,35 @@ def _window_unpartition(windows, ws: int, pad_hw, hw):
 def _attention(p, x, num_heads: int, q_pool: bool, q_stride):
     """MultiScaleAttention: qkv -> optional q max-pool -> SDPA -> proj.
 
-    x: [B, H, W, C_in] -> [B, H', W', C_out]."""
+    x: [B, H, W, C_in] -> [B, H', W', C_out].
+
+    The checkpoint stores one fused qkv projection (hieradet.py:50); applying
+    it fused and then reshaping [.., 3, C] relayouts the whole window tensor
+    (a real HBM copy per block, ~3 ms/step profiled round 3). The weight is
+    row-sliced into three projections instead — free on the [3C, C] weight,
+    issued once per backbone apply — so q/k/v are each written exactly once
+    in their consumed layout. Single-head blocks skip split/merge entirely
+    (same measured win as memory_attention._self_attn)."""
     B, H, W, _ = x.shape
-    qkv = nn.linear(p["qkv"], x)  # [B, H, W, 3*C_out]
-    dim_out = qkv.shape[-1] // 3
-    qkv = qkv.reshape(B, H * W, 3, dim_out)
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    w, b = p["qkv"]["weight"], p["qkv"].get("bias")
+    dim_out = w.shape[0] // 3
+    q, k, v = (
+        nn.linear({"weight": w[i * dim_out:(i + 1) * dim_out],
+                   **({"bias": b[i * dim_out:(i + 1) * dim_out]}
+                      if b is not None else {})}, x)
+        for i in range(3))
     if q_pool:
-        q = nn.max_pool2d(q.reshape(B, H, W, dim_out), q_stride[0], q_stride[0])
+        q = nn.max_pool2d(q, q_stride[0], q_stride[0])
         H, W = q.shape[1], q.shape[2]
-        q = q.reshape(B, H * W, dim_out)
-    out = sdpa(split_heads(q, num_heads), split_heads(k, num_heads),
-               split_heads(v, num_heads))
-    out = merge_heads(out).reshape(B, H, W, dim_out)
+    q = q.reshape(B, H * W, dim_out)
+    k = k.reshape(B, k.shape[1] * k.shape[2], dim_out)
+    v = v.reshape(B, v.shape[1] * v.shape[2], dim_out)
+    if num_heads > 1:
+        q, k, v = (split_heads(t, num_heads) for t in (q, k, v))
+    out = sdpa(q, k, v)
+    if num_heads > 1:
+        out = merge_heads(out)
+    out = out.reshape(B, H, W, dim_out)
     return nn.linear(p["proj"], out)
 
 
