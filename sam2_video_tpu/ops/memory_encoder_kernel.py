@@ -136,19 +136,35 @@ def _conv2x2(x, weff, bias):
     return acc + bias.astype(jnp.float32)
 
 
-def _packed_ln_gelu(y32, mean_mat, scale, shift, eps=1e-6):
+def _packed_ln_gelu(y32, mean_mat, scale, shift, eps=1e-6, fast=False):
     """Packed-phase LayerNorm (+GELU) via the group-mean matmul.
 
     y32: [h, w, 256] f32; mean_mat: [256, 256] f32; scale/shift: [256]
-    lane-expanded LN weight/bias."""
-    # HIGHEST: the moment dots run on f32 operands — the MXU's default
-    # single-pass bf16 rounding loses ~1e-3 through the var cancellation,
-    # which the normalization then amplifies layer over layer
-    mu = _mm(y32, mean_mat, precision=jax.lax.Precision.HIGHEST)
-    ex2 = _mm(jnp.square(y32), mean_mat,
-              precision=jax.lax.Precision.HIGHEST)
-    var = jnp.maximum(ex2 - jnp.square(mu), 0.0)
-    yn = (y32 - mu) * jax.lax.rsqrt(var + eps)
+    lane-expanded LN weight/bias.
+
+    Two formulations by compute dtype:
+    - f32 mode (``fast=False``): E[x^2]-mu^2 with HIGHEST-precision dots —
+      the MXU's single-pass bf16 rounding loses ~1e-3 through the variance
+      cancellation, which normalization amplifies layer over layer; this is
+      the strict-equivalence reference path (CPU interpret test).
+    - bf16 mode (``fast=True``): subtract-then-square, var = E[(x-mu)^2],
+      so there IS no cancellation and both moment dots run at bf16 MXU rate
+      (HIGHEST f32 dots cost ~6 passes each, ~40 us/program measured).
+      A mu rounding error eps only biases var by eps^2 (~1e-6 relative),
+      and the bf16 rounding of (x-mu)^2 averages down over the C-channel
+      mean — both invisible under the output's own bf16 cast."""
+    if fast:
+        mm_bf = mean_mat.astype(jnp.bfloat16)
+        mu = _mm(y32.astype(jnp.bfloat16), mm_bf)
+        d = y32 - mu
+        var = jnp.maximum(_mm(jnp.square(d).astype(jnp.bfloat16), mm_bf), 0.0)
+        yn = d * jax.lax.rsqrt(var + eps)
+    else:
+        mu = _mm(y32, mean_mat, precision=jax.lax.Precision.HIGHEST)
+        ex2 = _mm(jnp.square(y32), mean_mat,
+                  precision=jax.lax.Precision.HIGHEST)
+        var = jnp.maximum(ex2 - jnp.square(mu), 0.0)
+        yn = (y32 - mu) * jax.lax.rsqrt(var + eps)
     yn = yn * scale.astype(jnp.float32) + shift.astype(jnp.float32)
     return _gelu_f32(yn)
 
@@ -184,7 +200,8 @@ def _kernel(ms_ref, pix_ref,
         # exactly the XLA path's dtype walk (conv bf16 -> LN f32 -> bf16)
         y = _conv2x2(x, wr[:], br[0]).astype(cdt)
         x = _packed_ln_gelu(y.astype(jnp.float32),
-                            mr[:], sr[0], tr[0]).astype(cdt)
+                            mr[:], sr[0], tr[0],
+                            fast=(cdt == jnp.bfloat16)).astype(cdt)
 
     # final 1x1 conv to fuser_dim, then add the projected pixel features
     x = (_mm(x, wf_ref[:]) + bf_ref[0].astype(jnp.float32)
@@ -215,12 +232,15 @@ def _kernel(ms_ref, pix_ref,
         # between G=2 and G=4 fitting in VMEM
         y2 = y32.astype(cdt)
         H = p1r.shape[-1]
+        # chunk so the f32 hidden footprint (G*h*w*chunk) stays ~constant
+        # across G — the budget that let G=2 fit in scoped VMEM
+        chunk = max(256, H // G)
         out = None
-        for lo in range(0, H, H // 2):
-            hdn = _mm(y2, p1r[:, lo:lo + H // 2])
+        for lo in range(0, H, chunk):
+            hdn = _mm(y2, p1r[:, lo:lo + chunk])
             hdn = _gelu_f32(
-                hdn + q1r[0, lo:lo + H // 2].astype(jnp.float32)).astype(cdt)
-            part = _mm(hdn, p2r[lo:lo + H // 2, :])
+                hdn + q1r[0, lo:lo + chunk].astype(jnp.float32)).astype(cdt)
+            part = _mm(hdn, p2r[lo:lo + chunk, :])
             out = part if out is None else out + part
         out = (out + q2r[0].astype(jnp.float32)) * gr[0].astype(jnp.float32)
         x = (inp.astype(jnp.float32) + out).astype(cdt)
