@@ -96,7 +96,7 @@ class BatchedVideoPredictor:
         def encode(params, images_u8):
             x = images_u8.astype(jnp.float32) / 255.0
             x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
-            out = sam2_mod.forward_image(params, cfg, x)
+            out = sam2_mod.forward_image(params, cfg, x, allow_fused=True)
             return tuple(out["backbone_fpn"])
 
         def _posenc():

@@ -233,16 +233,30 @@ def _get_pos_embed(p, hw):
     return bkg + jnp.tile(win, tiles)
 
 
-def apply(p, x, cfg: HieraConfig) -> list[jnp.ndarray]:
+def apply(p, x, cfg: HieraConfig,
+          allow_fused: bool = False) -> list[jnp.ndarray]:
     """x: [B, H, W, 3] -> list of per-stage NHWC features (high-res first:
-    strides 4, 8, 16, 32)."""
+    strides 4, 8, 16, 32).
+
+    ``allow_fused=True`` routes eligible blocks through the forward-only
+    fused Pallas block kernel (ops/hiera_block_kernel.py). Callers may set
+    it ONLY when no gradient w.r.t. the trunk parameters will be requested —
+    the image encoder is frozen, or the model runs in eval mode; see
+    SAM2Config.fused_backbone."""
     x = nn.conv2d(p["patch_embed"]["proj"], x, stride=4, padding=3)
     x = x + _get_pos_embed(p, x.shape[1:3]).astype(x.dtype)
     outputs = []
     specs = cfg.block_specs()
     stage_ends = set(cfg.stage_ends)
+    if allow_fused:
+        from ..ops import hiera_block_kernel as hbk
     for i, spec in enumerate(specs):
-        x = _block(p["blocks"][str(i)], x, spec, cfg.q_stride)
+        bp = p["blocks"][str(i)]
+        if allow_fused and hbk.fused_block_eligible(
+                spec, x.shape[1], x.shape[2], cfg.mlp_ratio):
+            x = hbk.fused_block(bp, x, spec, cfg.q_stride, cfg.mlp_ratio)
+        else:
+            x = _block(bp, x, spec, cfg.q_stride)
         if i in stage_ends:
             outputs.append(x)
     return outputs

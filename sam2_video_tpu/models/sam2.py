@@ -142,6 +142,12 @@ class SAM2Config:
     # Set False to backpropagate through the scan carry (full BPTT over the
     # clip; jax.checkpoint keeps the memory footprint linear in T).
     detach_memory_bank: bool = True
+    # Route the Hiera trunk forward through the fused block kernel
+    # (ops/hiera_block_kernel.py) DURING TRAINING. Forward-only kernel —
+    # legal exactly when the image encoder is frozen; make_train_step sets
+    # this automatically from trainable_modules. Eval paths fuse whenever
+    # the backend supports it regardless of this flag.
+    fused_backbone: bool = False
 
     @property
     def trunk_config(self) -> HieraConfig:
@@ -249,19 +255,27 @@ def init(key, cfg: SAM2Config):
 # ---------------------------------------------------------------------------
 
 
-def forward_image(p, cfg: SAM2Config, images: jnp.ndarray):
+def forward_image(p, cfg: SAM2Config, images: jnp.ndarray,
+                  allow_fused: bool | None = None):
     """images: [B, H, W, 3] f32 ImageNet-normalized, or raw uint8 (the
     compact H2D contract — normalized here on device with the exact host
     arithmetic, data/coco.py:26-27). -> dict with the three FPN levels
     (strides 4, 8, 16) where levels 0/1 are already projected by the mask
-    decoder's conv_s0/conv_s1 (sam2_base.py:497-506), plus the sine PEs."""
+    decoder's conv_s0/conv_s1 (sam2_base.py:497-506), plus the sine PEs.
+
+    ``allow_fused`` gates the forward-only fused Hiera block kernel; None
+    defers to ``cfg.fused_backbone`` (training callers) — eval callers pass
+    True explicitly."""
+    if allow_fused is None:
+        allow_fused = cfg.fused_backbone
     if images.dtype == jnp.uint8:
         from ..data.coco import IMAGENET_MEAN, IMAGENET_STD
         images = (images.astype(jnp.float32) / 255.0
                   - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
     images = images.astype(cfg.dtype())
     out = image_encoder_mod.apply(p["image_encoder"], images,
-                                  cfg.image_encoder_config)
+                                  cfg.image_encoder_config,
+                                  allow_fused=allow_fused)
     fpn = out["backbone_fpn"]
     if cfg.use_high_res_features_in_sam:
         fpn = list(fpn)

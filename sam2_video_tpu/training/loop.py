@@ -68,6 +68,14 @@ def make_train_step(mcfg: VideoModelConfig, lcfg: LossConfig, tx,
     fine-tuning combos) instead of computing and zeroing their grads."""
     from .optimizer import partition_params
 
+    if (trainable_modules is not None
+            and "image_encoder" not in trainable_modules
+            and not mcfg.sam2.fused_backbone):
+        # frozen encoder -> no cotangent ever reaches the trunk, so the
+        # forward-only fused Hiera block kernel is legal during training
+        mcfg = dataclasses.replace(
+            mcfg, sam2=dataclasses.replace(mcfg.sam2, fused_backbone=True))
+
     loss_fn = batched_loss_fn(mcfg, lcfg, training=True)
 
     def step_fn(state: TrainState, batch: VideoClipBatch):
