@@ -4,7 +4,14 @@ Parity spec: /root/reference/sam2_video/eval/tune_threshold.py (:26-177):
 sweep thresholds in [t_min, t_max] with t_step, per image per category merge
 predictions as any(prob >= thr), Dice vs the per-category merged GT, mean
 over (image, category) pairs, argmax with tie-break nearest 0.5; writes
-``best_threshold.json``."""
+``best_threshold.json``.
+
+Implementation is vectorized over the threshold axis: since the merged
+prediction ``any_i(prob_i >= t)`` equals ``max_i(prob_i) >= t``, the whole
+Dice-vs-threshold curve for one (image, category) pair follows from survival
+counts of the per-pixel max-probability map — one sort per category instead
+of a per-threshold decode loop.
+"""
 
 from __future__ import annotations
 
@@ -15,89 +22,82 @@ from pathlib import Path
 import numpy as np
 
 from ..data import rle as rle_mod
+from .probs_io import iter_frame_probs, load_meta  # noqa: F401 (re-export)
 
 
-def dice_score(pred: np.ndarray, gt: np.ndarray) -> float:
-    inter = np.logical_and(pred, gt).sum(dtype=np.float64)
-    denom = pred.sum(dtype=np.float64) + gt.sum(dtype=np.float64) + 1e-7
-    return float(2.0 * inter / denom)
+def _threshold_axis(lo: float, hi: float, step: float) -> np.ndarray:
+    """Inclusive [lo, hi] grid, rounded to kill float-accumulation drift."""
+    n = int(np.floor((hi - lo) / step + 1e-9)) + 1
+    return np.round(lo + step * np.arange(n), 5)
 
 
-def load_meta(probs_dir) -> dict:
-    meta_path = Path(probs_dir) / "meta.json"
-    if not meta_path.exists():
-        raise FileNotFoundError(f"meta.json not found in {probs_dir}")
-    return json.loads(meta_path.read_text())
+def _exceedance(samples: np.ndarray, cutoffs: np.ndarray) -> np.ndarray:
+    """#{x in samples : x >= c} for every cutoff c, via one sort."""
+    ordered = np.sort(samples, axis=None)
+    return ordered.size - np.searchsorted(ordered, cutoffs, side="left")
+
+
+def _pair_dice_curve(peak: np.ndarray | None, gt_mask: np.ndarray,
+                     cutoffs: np.ndarray) -> np.ndarray:
+    """Dice(threshold) for one (image, category) pair.
+
+    ``peak`` is the pixelwise max probability over the category's objects
+    (None when the category has no predicted objects at all).
+    """
+    gt_area = float(np.count_nonzero(gt_mask))
+    if peak is None:
+        # Empty prediction at every threshold.
+        return np.zeros(cutoffs.shape, np.float64)
+    pred_area = _exceedance(peak, cutoffs).astype(np.float64)
+    hits = _exceedance(peak[gt_mask], cutoffs).astype(np.float64)
+    return 2.0 * hits / (pred_area + gt_area + 1e-7)
+
+
+def _gt_union(anns: list, shape: tuple) -> np.ndarray:
+    out = np.zeros(shape, bool)
+    for a in anns:
+        out |= rle_mod.decode(a["segmentation"]).astype(bool)
+    return out
 
 
 def grid_search(probs_dir, coco_path, t_min=0.2, t_max=0.8, t_step=0.05,
                 exclude_background=False):
-    gt = json.loads(Path(coco_path).read_text())
-    gt_anns: dict = {}
-    for a in gt["annotations"]:
-        gt_anns.setdefault(a["image_id"], []).append(a)
-    meta = load_meta(probs_dir)
-    mod = int(meta["mod"])
-    image_ids = meta.get("image_ids") or [
-        int(p.stem) for p in Path(probs_dir).glob("*.npz")
-        if p.stem.isdigit()]
+    coco = json.loads(Path(coco_path).read_text())
+    anns_by_image: dict = {}
+    for a in coco["annotations"]:
+        anns_by_image.setdefault(a["image_id"], []).append(a)
 
-    thresholds = []
-    t = t_min
-    while t <= t_max + 1e-9:
-        thresholds.append(round(t, 5))
-        t += t_step
+    cutoffs = _threshold_axis(t_min, t_max, t_step)
+    curve_sum = np.zeros(cutoffs.shape, np.float64)
+    n_pairs = 0
 
-    sum_dice = np.zeros(len(thresholds), np.float64)
-    count = np.zeros(len(thresholds), np.int64)
+    for frame in iter_frame_probs(probs_dir):
+        frame_anns = anns_by_image.get(frame.image_id, [])
+        cat_universe = set(frame.categories.tolist())
+        cat_universe |= {a["category_id"] for a in frame_anns}
+        if exclude_background:
+            cat_universe.discard(0)
 
-    for image_id in image_ids:
-        npz_path = Path(probs_dir) / f"{image_id}.npz"
-        if not npz_path.exists():
-            continue
-        data = np.load(npz_path)
-        probs = np.asarray(data["probs"], np.float32)
-        obj_ids = data["obj_ids"]
-        H = int(data["height"]) if "height" in data else probs.shape[1]
-        W = int(data["width"]) if "width" in data else probs.shape[2]
+        for cat in sorted(cat_universe):
+            gt_mask = _gt_union(
+                [a for a in frame_anns if a["category_id"] == cat],
+                frame.shape)
+            peak = frame.category_peak(cat)
+            if peak is None and not gt_mask.any():
+                continue  # absent on both sides: not a scored pair
+            curve_sum += _pair_dice_curve(peak, gt_mask, cutoffs)
+            n_pairs += 1
 
-        pred_cats = set((obj_ids % mod).tolist()) if obj_ids.size else set()
-        anns = gt_anns.get(int(image_id), [])
-        gt_cats = {a["category_id"] for a in anns}
-        categories = sorted(pred_cats | gt_cats)
-        if exclude_background and 0 in categories:
-            categories.remove(0)
-
-        gt_masks = {}
-        for c in categories:
-            cat_anns = [a for a in anns if a["category_id"] == c]
-            m = np.zeros((H, W), bool)
-            for a in cat_anns:
-                m |= rle_mod.decode(a["segmentation"]).astype(bool)
-            gt_masks[c] = m
-
-        for ti, thr in enumerate(thresholds):
-            for c in categories:
-                idx = np.where((obj_ids % mod) == c)[0]
-                if idx.size == 0 and not gt_masks[c].any():
-                    continue
-                pred = (np.any(probs[idx] >= thr, axis=0) if idx.size
-                        else np.zeros((H, W), bool))
-                sum_dice[ti] += dice_score(pred, gt_masks[c])
-                count[ti] += 1
-
-    valid = count > 0
-    if not valid.any():
+    if n_pairs == 0:
         raise RuntimeError("No valid categories found for Dice computation.")
-    mean_dice = np.full_like(sum_dice, -np.inf)
-    mean_dice[valid] = sum_dice[valid] / count[valid]
-    best_idx = int(np.argmax(mean_dice))
-    ties = np.where(mean_dice == mean_dice[best_idx])[0]
-    if len(ties) > 1:
-        best_idx = min(ties, key=lambda i: abs(thresholds[i] - 0.5))
-    per_thr = [(float(thresholds[i]), float(mean_dice[i]))
-               for i in range(len(thresholds)) if valid[i]]
-    return float(thresholds[best_idx]), float(mean_dice[best_idx]), per_thr
+    curve = curve_sum / n_pairs
+
+    # Best mean Dice; among ties prefer the threshold nearest 0.5.
+    order = np.lexsort((np.abs(cutoffs - 0.5), -curve))
+    winner = int(order[0])
+    per_thr = list(zip(cutoffs.astype(float).tolist(),
+                       curve.astype(float).tolist()))
+    return float(cutoffs[winner]), float(curve[winner]), per_thr
 
 
 def main():

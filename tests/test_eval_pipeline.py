@@ -76,6 +76,80 @@ def test_inference_end_to_end(setup, tmp_path, prompt_type):
         assert Path(out).exists()
 
 
+def test_threshold_curve_matches_naive(tmp_path):
+    """The sort-based Dice-vs-threshold curve must equal the naive
+    per-threshold any(prob >= t) merge (the reference semantics,
+    tune_threshold.py:26-131), including empty-pred and tie cases."""
+    rng = np.random.default_rng(7)
+    probs_dir = tmp_path / "probs"
+    probs_dir.mkdir()
+    H, W, mod = 24, 32, 100
+    from sam2_video_tpu.data import rle
+
+    gt = {"images": [], "annotations": [], "categories": [
+        {"id": c, "name": str(c)} for c in range(3)]}
+    ann_id = 0
+    image_ids = []
+    for fid in range(3):
+        image_ids.append(fid)
+        gt["images"].append({"id": fid, "height": H, "width": W,
+                             "video_id": "v", "order_in_video": fid,
+                             "file_name": "x", "path": "x",
+                             "is_det_keyframe": True})
+        # objects: two of cat 1, one of cat 2 (cat 0 has GT but no preds
+        # on frame 0 -> empty-pred path)
+        obj_ids = np.array([1 + 100, 1 + 200, 2 + 300], np.int64)
+        probs = rng.random((3, H, W)).astype(np.float16)
+        np.savez(probs_dir / f"{fid}.npz", probs=probs, obj_ids=obj_ids,
+                 height=H, width=W)
+        for cat in ([0, 1] if fid == 0 else [1, 2]):
+            m = (rng.random((H, W)) > 0.6).astype(np.uint8)
+            gt["annotations"].append({
+                "id": ann_id, "image_id": fid, "category_id": cat,
+                "segmentation": rle.encode(m), "area": int(m.sum()),
+                "bbox": [0, 0, 1, 1], "iscrowd": 0})
+            ann_id += 1
+    (probs_dir / "meta.json").write_text(json.dumps(
+        {"mod": mod, "image_ids": image_ids, "dtype": "float16"}))
+    gt_path = tmp_path / "gt.json"
+    gt_path.write_text(json.dumps(gt))
+
+    thr, best, curve = grid_search(probs_dir, gt_path,
+                                   t_min=0.2, t_max=0.8, t_step=0.05)
+    assert len(curve) == 13
+
+    # naive recomputation
+    from sam2_video_tpu.data import rle as rle_mod
+    anns_by_img = {}
+    for a in gt["annotations"]:
+        anns_by_img.setdefault(a["image_id"], []).append(a)
+    for t, expected in curve:
+        total, n = 0.0, 0
+        for fid in image_ids:
+            data = np.load(probs_dir / f"{fid}.npz")
+            probs = np.asarray(data["probs"], np.float32)
+            cats = data["obj_ids"] % mod
+            frame_anns = anns_by_img.get(fid, [])
+            all_cats = set(cats.tolist()) | {a["category_id"]
+                                             for a in frame_anns}
+            for c in sorted(all_cats):
+                sel = np.where(cats == c)[0]
+                gm = np.zeros((H, W), bool)
+                for a in frame_anns:
+                    if a["category_id"] == c:
+                        gm |= rle_mod.decode(a["segmentation"]).astype(bool)
+                if sel.size == 0 and not gm.any():
+                    continue
+                pred = (np.any(probs[sel] >= t, axis=0) if sel.size
+                        else np.zeros((H, W), bool))
+                inter = np.logical_and(pred, gm).sum(dtype=np.float64)
+                total += 2.0 * inter / (pred.sum() + gm.sum() + 1e-7)
+                n += 1
+        np.testing.assert_allclose(expected, total / n, rtol=1e-12)
+    assert any(abs(t - thr) < 1e-9 and abs(v - best) < 1e-12
+               for t, v in curve)
+
+
 def test_metric_math():
     a = np.zeros((4, 4), np.uint8)
     b = np.zeros((4, 4), np.uint8)
