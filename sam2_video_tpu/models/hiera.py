@@ -233,8 +233,8 @@ def _get_pos_embed(p, hw):
     return bkg + jnp.tile(win, tiles)
 
 
-def apply(p, x, cfg: HieraConfig,
-          allow_fused: bool = False) -> list[jnp.ndarray]:
+def apply(p, x, cfg: HieraConfig, allow_fused: bool = False,
+          fused_vjp: bool = False) -> list[jnp.ndarray]:
     """x: [B, H, W, 3] -> list of per-stage NHWC features (high-res first:
     strides 4, 8, 16, 32).
 
@@ -242,7 +242,12 @@ def apply(p, x, cfg: HieraConfig,
     fused Pallas block kernel (ops/hiera_block_kernel.py). Callers may set
     it ONLY when no gradient w.r.t. the trunk parameters will be requested —
     the image encoder is frozen, or the model runs in eval mode; see
-    SAM2Config.fused_backbone."""
+    SAM2Config.fused_backbone.
+
+    ``fused_vjp=True`` instead routes eligible blocks through the
+    differentiable fused kernel (custom-VJP Pallas backward,
+    ops/hiera_block_bwd.py) — for encoder-trainable training; see
+    SAM2Config.fused_backbone_vjp."""
     x = nn.conv2d(p["patch_embed"]["proj"], x, stride=4, padding=3)
     x = x + _get_pos_embed(p, x.shape[1:3]).astype(x.dtype)
     outputs = []
@@ -250,11 +255,17 @@ def apply(p, x, cfg: HieraConfig,
     stage_ends = set(cfg.stage_ends)
     if allow_fused:
         from ..ops import hiera_block_kernel as hbk
+    if fused_vjp:
+        from ..ops import hiera_block_bwd as hbb
     for i, spec in enumerate(specs):
         bp = p["blocks"][str(i)]
         if allow_fused and hbk.fused_block_eligible(
                 spec, x.shape[1], x.shape[2], cfg.mlp_ratio):
             x = hbk.fused_block(bp, x, spec, cfg.q_stride, cfg.mlp_ratio)
+        elif fused_vjp and hbb.fused_block_bwd_eligible(
+                spec, x.shape[1], x.shape[2], cfg.mlp_ratio):
+            x = hbb.fused_block_trainable(bp, x, spec, cfg.q_stride,
+                                          cfg.mlp_ratio)
         else:
             x = _block(bp, x, spec, cfg.q_stride)
         if i in stage_ends:

@@ -43,14 +43,15 @@ def init(key, cfg: ImageEncoderConfig):
     return {"trunk": hiera.init(ks[0], cfg.trunk), "neck": neck}
 
 
-def apply(p, x, cfg: ImageEncoderConfig, allow_fused: bool = False):
+def apply(p, x, cfg: ImageEncoderConfig, allow_fused: bool = False,
+          fused_vjp: bool = False):
     """x: [B, H, W, 3] -> dict with
     - backbone_fpn: list of NHWC features, high-res first (post-scalp)
     - vision_pos_enc: matching sine PEs [H, W, C] (broadcast over batch)
     - vision_features: the last (lowest-res kept) feature map
     """
-    xs = hiera.apply(p["trunk"], x, cfg.trunk,
-                     allow_fused=allow_fused)  # high-res first
+    xs = hiera.apply(p["trunk"], x, cfg.trunk, allow_fused=allow_fused,
+                     fused_vjp=fused_vjp)  # high-res first
     n = len(xs) - 1
     out = [None] * len(xs)
     pos = [None] * len(xs)

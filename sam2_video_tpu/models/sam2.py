@@ -148,6 +148,12 @@ class SAM2Config:
     # this automatically from trainable_modules. Eval paths fuse whenever
     # the backend supports it regardless of this flag.
     fused_backbone: bool = False
+    # Route the trunk through the DIFFERENTIABLE fused block kernel
+    # (custom-VJP Pallas backward, ops/hiera_block_bwd.py) during training —
+    # for encoder-trainable combos. make_train_step sets this automatically
+    # when image_encoder is in trainable_modules. Mutually exclusive with
+    # fused_backbone.
+    fused_backbone_vjp: bool = False
 
     @property
     def trunk_config(self) -> HieraConfig:
@@ -256,7 +262,8 @@ def init(key, cfg: SAM2Config):
 
 
 def forward_image(p, cfg: SAM2Config, images: jnp.ndarray,
-                  allow_fused: bool | None = None):
+                  allow_fused: bool | None = None,
+                  fused_vjp: bool = False):
     """images: [B, H, W, 3] f32 ImageNet-normalized, or raw uint8 (the
     compact H2D contract — normalized here on device with the exact host
     arithmetic, data/coco.py:26-27). -> dict with the three FPN levels
@@ -275,7 +282,8 @@ def forward_image(p, cfg: SAM2Config, images: jnp.ndarray,
     images = images.astype(cfg.dtype())
     out = image_encoder_mod.apply(p["image_encoder"], images,
                                   cfg.image_encoder_config,
-                                  allow_fused=allow_fused)
+                                  allow_fused=allow_fused,
+                                  fused_vjp=fused_vjp and not allow_fused)
     fpn = out["backbone_fpn"]
     if cfg.use_high_res_features_in_sam:
         fpn = list(fpn)

@@ -66,10 +66,13 @@ def forward_train(params, mcfg: VideoModelConfig, clip: VideoClip,
 
     # ---- 1. image encoder on all frames (the FLOPs-heavy batched part) ----
     # fused-kernel trunk is forward-only: legal under a frozen encoder
-    # (cfg.fused_backbone, set by make_train_step) and always in eval mode
+    # (cfg.fused_backbone, set by make_train_step) and always in eval mode;
+    # encoder-trainable training uses the differentiable fused kernel
+    # instead (cfg.fused_backbone_vjp, custom-VJP Pallas backward)
     backbone = sam2_mod.forward_image(
         params, cfg, clip.images,
-        allow_fused=cfg.fused_backbone or not training)
+        allow_fused=cfg.fused_backbone or not training,
+        fused_vjp=cfg.fused_backbone_vjp and training)
     s0, s1, s16 = backbone["backbone_fpn"]          # [T,4F,4F,C/8] [T,2F,2F,C/4] [T,F,F,C]
     pos16 = backbone["vision_pos_enc"][2]           # [F, F, C]
     curr_pos = pos16.reshape(HW, C)

@@ -113,7 +113,7 @@ def _block_kernel(x_ref, ln1w_ref, ln1b_ref, wq_ref, bq_ref, wk_ref, bk_ref,
                   wv_ref, bv_ref, wp_ref, bp_ref, ln2w_ref, ln2b_ref,
                   w1_ref, b1_ref, w2_ref, b2_ref, sc_refs, o_ref, *,
                   ws: int, heads: int, q_pool: bool, H: int, W: int,
-                  hidden_chunk: int):
+                  hidden_chunk: int, x1_ref=None):
     """One (image, band) program. Band = ``band_rows`` input rows x padded
     width Wp; ws == band covers the global blocks (single window).
     sc_refs is () or (wsc_ref, bsc_ref) for dim-change blocks."""
@@ -193,6 +193,10 @@ def _block_kernel(x_ref, ln1w_ref, ln1b_ref, wq_ref, bq_ref, wk_ref, bk_ref,
     proj = acc.astype(cdt).reshape(bh_out, out_w, Cout) \
         + bp_ref[0].astype(cdt)
     x1 = s.astype(cdt) + proj                      # bf16 add == XLA residual
+    if x1_ref is not None:
+        # save the post-attention residual for the backward pass
+        # (ops/hiera_block_bwd.py) — its MLP stage restarts from x1
+        x1_ref[0] = x1
 
     # MLP with the hidden dim processed in chunks to bound the f32 footprint
     y32 = _ln_f32(x1, ln2w_ref[0], ln2b_ref[0])
@@ -255,42 +259,22 @@ def fused_block_eligible(spec, H: int, W: int, mlp_ratio: float = 4.0,
     return band * Wp <= 2048
 
 
-def fused_block(p, x, spec, q_stride, mlp_ratio: float = 4.0,
-                interpret: bool = False):
-    """Fused forward of one Hiera block; same contract as hiera._block.
+def _f32row(a):
+    return a.astype(jnp.float32)[None]
 
-    x: [B, H, W, Cin] -> [B, H', W', Cout]. Caller must have checked
-    ``fused_block_eligible``."""
-    B, H, W, Cin = x.shape
-    ws = spec["window_size"]
-    heads = spec["num_heads"]
-    q_pool = spec["q_pool"]
-    Cout = spec["dim_out"]
+
+def _pack_operands(p, spec, cdt):
+    """Kernel weight operands in a fixed order (shared fwd/bwd):
+    [ln1w, ln1b, wq, bq, wk, bk, wv, bv, wp, bp, ln2w, ln2b, w1, b1, w2, b2]
+    + [wsc, bsc] for dim-change blocks. qkv stacks are [heads, hd, Cin] with
+    [heads, 1, hd] f32 biases; wp is [heads, Cout, hd] (per-head columns of
+    the output projection)."""
+    Cin, Cout, heads = spec["dim"], spec["dim_out"], spec["num_heads"]
     hd = Cout // heads
-    cdt = x.dtype
-
-    if ws == 0:
-        ws_eff = max(H, W)  # one window over the whole (square) grid
-        Hp = Wp = ws_eff
-    else:
-        ws_eff = ws
-        Hp = -(-H // ws) * ws
-        Wp = -(-W // ws) * ws
-    if Hp != H or Wp != W:
-        x = jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
-
-    band_rows = _band_rows(ws_eff, Hp, Wp)
-    n_bands = Hp // band_rows
-    bh_out = band_rows // 2 if q_pool else band_rows
-    out_w = Wp // 2 if q_pool else Wp
-    H_out_p = Hp // 2 if q_pool else Hp
-
     ap = p["attn"]
     wqkv, bqkv = ap["qkv"]["weight"], ap["qkv"].get("bias")
 
     def head_stack(i):
-        """qkv row block i -> ([heads, hd, Cin] weights, [heads, 1, hd]
-        f32 biases)."""
         wpart = wqkv[i * Cout:(i + 1) * Cout].reshape(
             heads, hd, Cin).astype(cdt)
         if bqkv is not None:
@@ -303,28 +287,69 @@ def fused_block(p, x, spec, q_stride, mlp_ratio: float = 4.0,
     wq, bq = head_stack(0)
     wk, bk = head_stack(1)
     wv, bv = head_stack(2)
-    # proj split by input (head) columns: [heads, Cout, hd]
     wp = ap["proj"]["weight"].reshape(Cout, heads, hd).transpose(
         1, 0, 2).astype(cdt)
 
-    def f32row(a):
-        return a.astype(jnp.float32)[None]
-
     operands = [
-        f32row(p["norm1"]["weight"]), f32row(p["norm1"]["bias"]),
+        _f32row(p["norm1"]["weight"]), _f32row(p["norm1"]["bias"]),
         wq, bq, wk, bk, wv, bv,
-        wp, f32row(ap["proj"]["bias"]),
-        f32row(p["norm2"]["weight"]), f32row(p["norm2"]["bias"]),
+        wp, _f32row(ap["proj"]["bias"]),
+        _f32row(p["norm2"]["weight"]), _f32row(p["norm2"]["bias"]),
         p["mlp"]["layers"]["0"]["weight"].astype(cdt),
-        f32row(p["mlp"]["layers"]["0"]["bias"]),
+        _f32row(p["mlp"]["layers"]["0"]["bias"]),
         p["mlp"]["layers"]["1"]["weight"].astype(cdt),
-        f32row(p["mlp"]["layers"]["1"]["bias"]),
+        _f32row(p["mlp"]["layers"]["1"]["bias"]),
     ]
     n_sc = 0
     if Cin != Cout:
         operands += [p["proj"]["weight"].astype(cdt),
-                     f32row(p["proj"]["bias"])]
+                     _f32row(p["proj"]["bias"])]
         n_sc = 2
+    return operands, n_sc
+
+
+def _geometry(spec, H: int, W: int):
+    """Static band geometry shared by the forward and backward kernels:
+    (ws_eff, Hp, Wp, band_rows, n_bands, bh_out, out_w, H_out_p)."""
+    ws = spec["window_size"]
+    q_pool = spec["q_pool"]
+    if ws == 0:
+        ws_eff = max(H, W)  # one window over the whole (square) grid
+        Hp = Wp = ws_eff
+    else:
+        ws_eff = ws
+        Hp = -(-H // ws) * ws
+        Wp = -(-W // ws) * ws
+    band_rows = _band_rows(ws_eff, Hp, Wp)
+    n_bands = Hp // band_rows
+    bh_out = band_rows // 2 if q_pool else band_rows
+    out_w = Wp // 2 if q_pool else Wp
+    H_out_p = Hp // 2 if q_pool else Hp
+    return ws_eff, Hp, Wp, band_rows, n_bands, bh_out, out_w, H_out_p
+
+
+def fused_block(p, x, spec, q_stride, mlp_ratio: float = 4.0,
+                interpret: bool = False, save_residual: bool = False):
+    """Fused forward of one Hiera block; same contract as hiera._block.
+
+    x: [B, H, W, Cin] -> [B, H', W', Cout]. Caller must have checked
+    ``fused_block_eligible``. With ``save_residual`` also returns the
+    post-attention residual x1 on the PADDED pooled grid
+    [B, H_out_p, out_w, Cout] for the backward pass."""
+    B, H, W, Cin = x.shape
+    ws = spec["window_size"]
+    heads = spec["num_heads"]
+    q_pool = spec["q_pool"]
+    Cout = spec["dim_out"]
+    hd = Cout // heads
+    cdt = x.dtype
+
+    (ws_eff, Hp, Wp, band_rows, n_bands,
+     bh_out, out_w, H_out_p) = _geometry(spec, H, W)
+    if Hp != H or Wp != W:
+        x = jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
+
+    operands, n_sc = _pack_operands(p, spec, cdt)
 
     x_spec = pl.BlockSpec((1, band_rows, Wp, Cin),
                           lambda b, j: (b, j, 0, 0))
@@ -332,25 +357,39 @@ def fused_block(p, x, spec, q_stride, mlp_ratio: float = 4.0,
                for a in operands]
 
     def kernel(x_ref, *refs):
-        core, o_ref = refs[:16 + n_sc], refs[-1]
+        core = refs[:16 + n_sc]
         sc_refs = tuple(core[16:16 + n_sc])
+        if save_residual:
+            o_ref, x1_ref = refs[-2], refs[-1]
+        else:
+            o_ref, x1_ref = refs[-1], None
         _block_kernel(x_ref, *core[:16], sc_refs, o_ref,
                       ws=ws_eff, heads=heads, q_pool=q_pool, H=H, W=W,
-                      hidden_chunk=_HIDDEN_CHUNK)
+                      hidden_chunk=_HIDDEN_CHUNK, x1_ref=x1_ref)
+
+    out_shape = jax.ShapeDtypeStruct((B, H_out_p, out_w, Cout), cdt)
+    out_spec = pl.BlockSpec((1, bh_out, out_w, Cout), lambda b, j: (b, j, 0, 0))
+    if save_residual:
+        out_shape = (out_shape, jax.ShapeDtypeStruct(
+            (B, H_out_p, out_w, Cout), cdt))
+        out_spec = (out_spec, pl.BlockSpec((1, bh_out, out_w, Cout),
+                                           lambda b, j: (b, j, 0, 0)))
 
     y = pl.pallas_call(
         kernel,
         grid=(B, n_bands),
         in_specs=[x_spec] + w_specs,
-        out_specs=pl.BlockSpec((1, bh_out, out_w, Cout),
-                               lambda b, j: (b, j, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, H_out_p, out_w, Cout), cdt),
+        out_specs=out_spec,
+        out_shape=out_shape,
         interpret=(interpret or INTERPRET
                    or jax.default_backend() == "cpu"),
     )(x, *operands)
+    x1 = None
+    if save_residual:
+        y, x1 = y
 
     H_real = H // 2 if q_pool else H
     W_real = W // 2 if q_pool else W
     if y.shape[1] != H_real or y.shape[2] != W_real:
         y = y[:, :H_real, :W_real]
-    return y
+    return (y, x1) if save_residual else y

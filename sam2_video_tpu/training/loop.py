@@ -75,6 +75,14 @@ def make_train_step(mcfg: VideoModelConfig, lcfg: LossConfig, tx,
         # forward-only fused Hiera block kernel is legal during training
         mcfg = dataclasses.replace(
             mcfg, sam2=dataclasses.replace(mcfg.sam2, fused_backbone=True))
+    elif ((trainable_modules is None or "image_encoder" in trainable_modules)
+          and not mcfg.sam2.fused_backbone
+          and not mcfg.sam2.fused_backbone_vjp):
+        # trainable encoder -> the trunk needs gradients; use the
+        # differentiable fused kernel (custom-VJP Pallas backward)
+        mcfg = dataclasses.replace(
+            mcfg, sam2=dataclasses.replace(mcfg.sam2,
+                                           fused_backbone_vjp=True))
 
     loss_fn = batched_loss_fn(mcfg, lcfg, training=True)
 

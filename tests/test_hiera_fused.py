@@ -77,7 +77,8 @@ def test_fused_trunk_matches_xla(rng, monkeypatch):
 
 def test_fused_gating_wiring():
     """make_train_step flips fused_backbone on exactly when the image
-    encoder is frozen."""
+    encoder is frozen, and fused_backbone_vjp on exactly when it is
+    trainable (incl. the all-trainable default)."""
     import optax
 
     from sam2_video_tpu.models import VideoModelConfig
@@ -89,6 +90,7 @@ def test_fused_gating_wiring():
 
     def spy(mcfg, lcfg, training=True):
         captured["fused"] = mcfg.sam2.fused_backbone
+        captured["vjp"] = mcfg.sam2.fused_backbone_vjp
         return orig(mcfg, lcfg, training=training)
 
     mcfg = VideoModelConfig(sam2=SAM2Config(backbone="tiny", image_size=64))
@@ -98,16 +100,119 @@ def test_fused_gating_wiring():
         loop_mod.make_train_step(
             mcfg, loop_mod.LossConfig(), tx,
             trainable_modules=["memory_attention", "memory_encoder"])
-        assert captured["fused"] is True
+        assert captured["fused"] is True and captured["vjp"] is False
         loop_mod.make_train_step(
             mcfg, loop_mod.LossConfig(), tx,
             trainable_modules=["memory_attention", "image_encoder"])
-        assert captured["fused"] is False
+        assert captured["fused"] is False and captured["vjp"] is True
         loop_mod.make_train_step(mcfg, loop_mod.LossConfig(), tx,
                                  trainable_modules=None)
-        assert captured["fused"] is False
+        assert captured["fused"] is False and captured["vjp"] is True
     finally:
         loop_mod.batched_loss_fn = orig
+
+
+def _grad_trees(f, p, x, cot):
+    loss = lambda pp, xx: jnp.vdot(f(pp, xx), cot)
+    return jax.grad(loss, (0, 1))(p, x)
+
+
+def _assert_grads_close(ga, gb, atol, rtol, allow_pool_flips=False):
+    """Leaf-wise comparison. ``allow_pool_flips`` tolerates max-pool tie
+    routing divergence: when the two FORWARD paths disagree on a near-tied
+    2x2 pooling cell (float accumulation order), the gradient routes to a
+    different cell element in each path — a measure-zero discontinuity of
+    max-pool, not a kernel error. One flipped routing decision moves one
+    gradient contribution between rows of a downstream weight grad, so it
+    corrupts up to a full row of elements; the right robustness measure is
+    therefore fraction-of-elements + relative Frobenius norm, not a count."""
+    flat_b = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(gb)}
+    for k, va in jax.tree_util.tree_leaves_with_path(ga):
+        ks = jax.tree_util.keystr(k)
+        va = np.asarray(va)
+        vb = np.asarray(flat_b[ks])
+        leaf_atol = atol * float(np.max(np.abs(va)) + 1)
+        bad = ~np.isclose(vb, va, atol=leaf_atol, rtol=rtol)
+        n_bad = int(bad.sum())
+        if n_bad == 0:
+            continue
+        assert allow_pool_flips, (
+            f"{ks}: {n_bad} mismatches; "
+            f"max abs diff {np.abs(vb - va).max():.4g}")
+        frac = n_bad / va.size
+        rel_frob = np.linalg.norm(vb - va) / (np.linalg.norm(va) + 1e-12)
+        assert frac <= 0.01 and rel_frob <= 2e-2, (ks, n_bad, frac, rel_frob)
+
+
+@pytest.mark.parametrize("idx", [0, 1, 2, 3, 4, 5])
+def test_fused_block_grads_match_xla(idx, rng):
+    """Backward kernel parity (params AND input grads) vs XLA autodiff of
+    hiera._block, per geometry class — plain ws8, pooled ws8 (dim-change
+    shortcut + q-pool unpooling), plain ws4, pooled ws4, padded ws14,
+    global."""
+    from sam2_video_tpu.ops import hiera_block_bwd as hbb
+
+    p = _tiny_params()
+    i, spec, H = _block_geometries()[idx]
+    assert hbb.fused_block_bwd_eligible(spec, H, H, CFG.mlp_ratio,
+                                        interpret=True)
+    bp = p["blocks"][str(i)]
+    x = jnp.asarray(rng.standard_normal((2, H, H, spec["dim"]),
+                                        dtype=np.float32))
+    y_shape = jax.eval_shape(
+        lambda q: hiera._block(bp, q, spec, CFG.q_stride), x).shape
+    cot = jnp.asarray(rng.standard_normal(y_shape, dtype=np.float32))
+
+    g_ref = _grad_trees(
+        lambda pp, xx: hiera._block(pp, xx, spec, CFG.q_stride), bp, x, cot)
+    g_fus = _grad_trees(
+        lambda pp, xx: hbb.fused_block_trainable(
+            pp, xx, spec, CFG.q_stride, CFG.mlp_ratio, interpret=True),
+        bp, x, cot)
+    _assert_grads_close(g_ref, g_fus, atol=2e-3, rtol=2e-3)
+
+
+def test_fused_trunk_grads_match_xla(rng, monkeypatch):
+    """Whole-trunk gradient parity: apply(fused_vjp=True) vs the XLA trunk,
+    params and input, with stage-4 blocks transparently on the XLA path."""
+    monkeypatch.setattr(hbk, "INTERPRET", True)
+    p = _tiny_params()
+    x = jnp.asarray(rng.standard_normal((1, 128, 128, 3), dtype=np.float32))
+
+    def loss(fn_kwargs):
+        def f(pp, xx):
+            outs = hiera.apply(pp, xx, CFG, **fn_kwargs)
+            return sum(jnp.sum(o.astype(jnp.float32) ** 2) for o in outs)
+        return f
+
+    g_ref = jax.grad(loss({}), (0, 1))(p, x)
+    g_fus = jax.grad(loss({"fused_vjp": True}), (0, 1))(p, x)
+    # the two forward paths differ by accumulation order, so a near-tied
+    # pooling cell may route its gradient to the other element (even in
+    # XLA-path blocks downstream of a fused one)
+    _assert_grads_close(g_ref, g_fus, atol=5e-3, rtol=5e-3,
+                        allow_pool_flips=True)
+
+
+def test_bwd_eligibility_gating():
+    """Stage-4 blocks and the 512px global-attention blocks (whose dense
+    f32 logits would blow VMEM in the backward) must be bwd-ineligible;
+    everything else at 384px must be eligible."""
+    from sam2_video_tpu.ops import hiera_block_bwd as hbb
+
+    for i, spec, H in _block_geometries(384):
+        want = spec["dim_out"] != 768
+        got = hbb.fused_block_bwd_eligible(spec, H, H, CFG.mlp_ratio,
+                                           interpret=True)
+        assert got == want, (i, spec, H)
+    for i, spec, H in _block_geometries(512):
+        got = hbb.fused_block_bwd_eligible(spec, H, H, CFG.mlp_ratio,
+                                           interpret=True)
+        if spec["dim_out"] == 768 or spec["window_size"] == 0:
+            assert not got, (i, spec, H)
+        else:
+            assert got, (i, spec, H)
 
 
 def test_cpu_backend_falls_back_to_xla():
