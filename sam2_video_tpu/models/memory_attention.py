@@ -265,6 +265,11 @@ def apply(p, cfg: MemoryAttentionConfig, curr, memory, curr_pos, memory_pos,
     if cfg.pos_enc_at_input and curr_pos is not None:
         output = output + 0.1 * curr_pos
 
+    fused = _fused_layers(p, cfg, output, memory, memory_pos, rope_q,
+                          num_spatial_k, key_valid, perm, (w, h))
+    if fused is not None:
+        return fused
+
     act = {"relu": jax.nn.relu, "gelu": nn.gelu}[cfg.activation]
     for i in range(cfg.num_layers):
         lp = p["layers"][str(i)]
@@ -275,4 +280,48 @@ def apply(p, cfg: MemoryAttentionConfig, curr, memory, curr_pos, memory_pos,
         tgt2 = nn.layer_norm(lp["norm3"], output)
         tgt2 = nn.linear(lp["linear2"], act(nn.linear(lp["linear1"], tgt2)))
         output = output + tgt2
+    return nn.layer_norm(p["norm"], output)
+
+
+def _fused_layers(p, cfg, output, memory, memory_pos, rope_q,
+                  num_spatial_k, key_valid, perm, grid_wh):
+    """Fused per-layer path (ops/memattn_layer_kernel.py): each layer runs
+    as self-attn kernel -> flash cross-attention (k-proj + RoPE fused,
+    v-commuted) -> tail kernel, replacing ~25 XLA glue ops per layer per
+    frame with two Pallas programs around the flash call. Returns None when
+    any piece is ineligible (the caller then takes the XLA/flash path;
+    results are equivalent up to f32 reassociation — tests/
+    test_memattn_fused.py)."""
+    from ..ops import memattn_layer_kernel as mlk
+    from ..ops.flash_attention import (flash_attention_kproj,
+                                       flash_kproj_eligible)
+
+    L = output.shape[-2]
+    if not (cfg.use_flash and mlk.fused_layer_eligible(cfg, L)):
+        return None
+    k_in = (memory + memory_pos if cfg.pos_enc_at_cross_attn_keys
+            else memory)
+    # eligibility probe with a representative rope'd-q shape
+    if not flash_kproj_eligible(output, k_in, num_spatial_k, grid_wh):
+        return None
+    key_bias = (jnp.where(key_valid, 0.0, -1e9).astype(jnp.float32)
+                if key_valid is not None else None)
+    cos32 = rope_q[0].astype(jnp.float32)
+    sin32 = rope_q[1].astype(jnp.float32)
+    for i in range(cfg.num_layers):
+        lp = p["layers"][str(i)]
+        sp, cp = lp["self_attn"], lp["cross_attn_image"]
+        p_self = {"q": _permed(sp, "q_proj", perm),
+                  "k": _permed(sp, "k_proj", perm),
+                  "v": sp["v_proj"], "out": sp["out_proj"]}
+        output, q3 = mlk.fused_self_block(
+            p_self, _permed(cp, "q_proj", perm), lp["norm1"], lp["norm2"],
+            output, cos32, sin32)
+        kp = _permed(cp, "k_proj", perm)
+        attn = flash_attention_kproj(
+            q3, k_in, memory, kp["weight"], kp["bias"], key_bias,
+            num_spatial_k, grid_wh, theta=cfg.rope_theta)
+        output = mlk.fused_tail_block(
+            cp["v_proj"], cp["out_proj"], lp["norm3"], lp["linear1"],
+            lp["linear2"], output, attn)
     return nn.layer_norm(p["norm"], output)
