@@ -14,7 +14,9 @@ substituted by the next image (dataset.py:207-211).
 
 from __future__ import annotations
 
+import collections
 import json
+import threading
 from pathlib import Path
 from typing import Any
 
@@ -44,7 +46,8 @@ class COCOIndex:
 
     def __init__(self, json_path: str | Path, image_size: int,
                  num_categories: int | None = None,
-                 filter_keyframes: bool = True):
+                 filter_keyframes: bool = True,
+                 frame_cache_mb: float = 0.0):
         self.json_path = Path(json_path)
         if not self.json_path.exists():
             raise FileNotFoundError(f"COCO JSON not found: {self.json_path}")
@@ -79,6 +82,16 @@ class COCOIndex:
 
         self.image_id_to_idx = {im["id"]: i for i, im in enumerate(self.images)}
         self._mask_cache: dict[Any, np.ndarray] = {}
+        # Decoded-frame LRU cache (post-resize/crop uint8, so one entry is
+        # exactly S*S*3 bytes regardless of source resolution). The reference
+        # caches only masks (dataset.py:133-180) because its GPU step is slow
+        # enough to hide PNG decode; at TPU step rates the decode IS the
+        # bottleneck on small hosts, so epoch>=2 must skip it. Thread-safe:
+        # ClipLoader prefetches from a thread pool.
+        self._frame_cache_budget = int(frame_cache_mb * 1024 * 1024)
+        self._frame_cache: collections.OrderedDict[int, np.ndarray] = \
+            collections.OrderedDict()
+        self._frame_cache_lock = threading.Lock()
 
     # -- frame loading ------------------------------------------------------
 
@@ -87,6 +100,22 @@ class COCOIndex:
         """-> [S, S, 3] f32 ImageNet-normalized, or raw uint8 when
         ``normalize=False`` (the device normalizes in that contract —
         4x less host->device traffic; sam2.forward_image)."""
+        raw = self._decoded_frame(idx, image_root)
+        if not normalize:
+            return raw
+        arr = raw.astype(np.float32) / 255.0
+        return (arr - IMAGENET_MEAN) / IMAGENET_STD
+
+    def _decoded_frame(self, idx: int, image_root: str | None) -> np.ndarray:
+        """[S, S, 3] uint8 post-resize/crop frame, LRU-cached up to the
+        ``frame_cache_mb`` budget. Normalization always starts from this
+        uint8 array, so cached and uncached reads are bit-identical."""
+        if self._frame_cache_budget:
+            with self._frame_cache_lock:
+                hit = self._frame_cache.get(idx)
+                if hit is not None:
+                    self._frame_cache.move_to_end(idx)
+                    return hit
         info = self.images[idx]
         path = info.get("path") or info["file_name"]
         if image_root is not None:
@@ -99,10 +128,15 @@ class COCOIndex:
         img = img.resize((nw, nh), Image.BILINEAR)
         left, top = center_crop_box(nw, nh, s)
         img = img.crop((left, top, left + s, top + s))
-        if not normalize:
-            return np.asarray(img, np.uint8)
-        arr = np.asarray(img, np.float32) / 255.0
-        return (arr - IMAGENET_MEAN) / IMAGENET_STD
+        raw = np.asarray(img, np.uint8)
+        if self._frame_cache_budget:
+            entry = raw.nbytes
+            with self._frame_cache_lock:
+                self._frame_cache[idx] = raw
+                while (len(self._frame_cache) * entry
+                       > self._frame_cache_budget):
+                    self._frame_cache.popitem(last=False)
+        return raw
 
     def load_masks(self, image_id) -> np.ndarray:
         """-> [num_categories, S, S] bool (resized, center-cropped, OR-merged

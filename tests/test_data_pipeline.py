@@ -142,3 +142,34 @@ def test_loader_emits_uint8_by_default(tmp_path):
                                                 uint8_images=False))
     b32 = next(iter(ClipLoader(ds32, num_workers=1, shuffle=False)))
     assert b32.images.dtype == np.float32
+
+
+def test_frame_cache_identical_and_bounded(dataset_path):
+    """frame_cache_mb: cached reads are bit-identical to uncached (both
+    normalize from the same post-resize uint8), and the LRU respects the
+    byte budget."""
+    plain = COCOIndex(dataset_path, image_size=96)
+    cached = COCOIndex(dataset_path, image_size=96, frame_cache_mb=64)
+    for idx in (0, 1, 2):
+        np.testing.assert_array_equal(plain.load_image(idx),
+                                      cached.load_image(idx))
+        np.testing.assert_array_equal(
+            plain.load_image(idx, normalize=False),
+            cached.load_image(idx, normalize=False))
+    # second read served from cache — swap the stored entry and observe
+    assert 0 in cached._frame_cache
+    cached._frame_cache[0] = np.zeros_like(cached._frame_cache[0])
+    assert cached.load_image(0, normalize=False).max() == 0
+
+    # budget: each 96px frame is 96*96*3 bytes; allow exactly two entries
+    two = 2 * 96 * 96 * 3 / (1024 * 1024)
+    small = COCOIndex(dataset_path, image_size=96, frame_cache_mb=two)
+    for idx in range(5):
+        small.load_image(idx, normalize=False)
+    assert len(small._frame_cache) == 2
+    assert list(small._frame_cache) == [3, 4]  # LRU evicts oldest
+
+    # frame_cache_mb=0 (default) never populates the cache
+    for idx in range(3):
+        plain.load_image(idx)
+    assert not plain._frame_cache

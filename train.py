@@ -117,10 +117,15 @@ def main(argv=None):
             f"process count {n_proc}")
     local_batch = batch_size // max(n_proc, 1)
 
+    # data.frame_cache_mb > 0 keeps post-resize uint8 frames in RAM so
+    # epoch >= 2 skips PNG decode entirely (docs/DESIGN.md §5 budget table)
+    cache_mb = float(cfg.data.get("frame_cache_mb", 0) or 0)
     train_index = COCOIndex(cfg.data.train_path, int(cfg.data.image_size),
-                            int(cfg.data.get("num_categories") or 0) or None)
+                            int(cfg.data.get("num_categories") or 0) or None,
+                            frame_cache_mb=cache_mb)
     val_index = COCOIndex(cfg.data.val_path, int(cfg.data.image_size),
-                          int(cfg.data.get("num_categories") or 0) or None)
+                          int(cfg.data.get("num_categories") or 0) or None,
+                          frame_cache_mb=cache_mb)
     train_ds = ClipDataset(train_index, dcfg)
     val_ds = ClipDataset(val_index, dcfg)
     train_loader = ClipLoader(train_ds, batch_size=local_batch, shuffle=True,
