@@ -13,7 +13,9 @@ from sam2_video_tpu.training.losses import LossConfig
 from sam2_video_tpu.training.optimizer import make_optimizer
 from __graft_entry__ import _example_clip
 
-# reference README CholecSeg8k setting: 512px, 8-frame clips
+# reference README CholecSeg8k setting: 512px, 8-frame clips.
+# Round-4 re-sweep (VERDICT r3 item 6): B in {1,2} with the fused Hiera
+# trunk + fused memattn layer kernels now in the step.
 S, T = 512, 8
 cfg = SAM2Config(backbone="tiny", image_size=S, compute_dtype="bfloat16",
                  use_activation_checkpoint=False)
@@ -26,17 +28,19 @@ state = TrainState.create(params, tx)
 step = make_train_step(mcfg, LossConfig(), tx,
                        trainable_modules=["memory_attention",
                                           "memory_encoder"])
-batch = _example_clip(S, T=T, O=8, C=7, B=1)
-t0 = time.perf_counter()
-state, m = step(state, batch)
-float(jax.device_get(m["total_loss"]))
-compile_s = time.perf_counter() - t0
-n = 20
-t0 = time.perf_counter()
-for _ in range(n):
+for B in (1, 2):
+    batch = _example_clip(S, T=T, O=8, C=7, B=B)
+    t0 = time.perf_counter()
     state, m = step(state, batch)
-float(jax.device_get(m["total_loss"]))
-dt = time.perf_counter() - t0
-print(json.dumps({"name": "512px-T8-B1-none", "clips_per_sec": round(n/dt, 3),
-                  "step_ms": round(dt/n*1e3, 1),
-                  "compile_s": round(compile_s, 1)}), flush=True)
+    float(jax.device_get(m["total_loss"]))
+    compile_s = time.perf_counter() - t0
+    n = 20
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, m = step(state, batch)
+    float(jax.device_get(m["total_loss"]))
+    dt = time.perf_counter() - t0
+    print(json.dumps({"name": f"512px-T8-B{B}-none",
+                      "clips_per_sec": round(n * B / dt, 3),
+                      "step_ms": round(dt / n * 1e3, 1),
+                      "compile_s": round(compile_s, 1)}), flush=True)

@@ -431,10 +431,20 @@ class BatchedVideoPredictor:
         # software pipeline, depth 3: several device steps stay in flight
         # while the host fetches/reconstructs earlier frames — the memory
         # bank entries consumed by dispatch are device futures, so queuing
-        # ahead never synchronizes (the only syncs are the yields' fetches)
+        # ahead never synchronizes (the only syncs are the yields' fetches).
+        # D2H copies are scheduled at dispatch time (copy_to_host_async) so
+        # transfers ride behind compute instead of blocking the pop.
+        def _prefetch(out):
+            for a in out:
+                try:
+                    a.copy_to_host_async()
+                except Exception:  # backend without async host copy
+                    break
+            return out
+
         pending: deque = deque()
         for t in frame_order:
-            pending.append((t, dispatch(t)))
+            pending.append((t, _prefetch(dispatch(t))))
             if len(pending) > 3:
                 pt_, (pk, sc) = pending.popleft()
                 yield (pt_, obj_ids, np.asarray(pk), np.asarray(sc))

@@ -712,10 +712,21 @@ class VideoPredictor:
         # software pipeline, depth 3: several device steps stay in flight
         # while the host converts/fetches earlier frames (per-call tunnel
         # RTT dominates otherwise); dispatch consumes memory-bank entries
-        # as device futures, so queuing ahead never synchronizes
+        # as device futures, so queuing ahead never synchronizes. The D2H
+        # copy of each frame's packed payload is scheduled at dispatch time
+        # (copy_to_host_async) so the transfer rides behind the compute
+        # instead of blocking the pop-side np.asarray.
+        def _prefetch(out):
+            for a in out:
+                try:
+                    a.copy_to_host_async()
+                except Exception:  # backend without async host copy
+                    break
+            return out
+
         pending: deque = deque()
         for t in frame_order:
-            pending.append((t, dispatch(t)))
+            pending.append((t, _prefetch(dispatch(t))))
             if len(pending) > 3:
                 pt_, (pk, sc) = pending.popleft()
                 yield (pt_, obj_ids, np.asarray(pk), np.asarray(sc))
