@@ -89,7 +89,7 @@ class COCOIndex:
         # bottleneck on small hosts, so epoch>=2 must skip it. Thread-safe:
         # ClipLoader prefetches from a thread pool.
         self._frame_cache_budget = int(frame_cache_mb * 1024 * 1024)
-        self._frame_cache: collections.OrderedDict[int, np.ndarray] = \
+        self._frame_cache: collections.OrderedDict[tuple, np.ndarray] = \
             collections.OrderedDict()
         self._frame_cache_lock = threading.Lock()
 
@@ -109,12 +109,17 @@ class COCOIndex:
     def _decoded_frame(self, idx: int, image_root: str | None) -> np.ndarray:
         """[S, S, 3] uint8 post-resize/crop frame, LRU-cached up to the
         ``frame_cache_mb`` budget. Normalization always starts from this
-        uint8 array, so cached and uncached reads are bit-identical."""
+        uint8 array, so cached and uncached reads are bit-identical. Cached
+        arrays are returned read-only (a consumer mutating a cache hit
+        in place would otherwise silently corrupt every later epoch); the
+        cache key includes ``image_root`` so one index used with two roots
+        never serves frames decoded from the other."""
+        key = (idx, image_root)
         if self._frame_cache_budget:
             with self._frame_cache_lock:
-                hit = self._frame_cache.get(idx)
+                hit = self._frame_cache.get(key)
                 if hit is not None:
-                    self._frame_cache.move_to_end(idx)
+                    self._frame_cache.move_to_end(key)
                     return hit
         info = self.images[idx]
         path = info.get("path") or info["file_name"]
@@ -130,9 +135,10 @@ class COCOIndex:
         img = img.crop((left, top, left + s, top + s))
         raw = np.asarray(img, np.uint8)
         if self._frame_cache_budget:
+            raw.setflags(write=False)  # np.stack/astype still work
             entry = raw.nbytes
             with self._frame_cache_lock:
-                self._frame_cache[idx] = raw
+                self._frame_cache[key] = raw
                 while (len(self._frame_cache) * entry
                        > self._frame_cache_budget):
                     self._frame_cache.popitem(last=False)

@@ -157,9 +157,21 @@ def test_frame_cache_identical_and_bounded(dataset_path):
             plain.load_image(idx, normalize=False),
             cached.load_image(idx, normalize=False))
     # second read served from cache — swap the stored entry and observe
-    assert 0 in cached._frame_cache
-    cached._frame_cache[0] = np.zeros_like(cached._frame_cache[0])
+    # (cache keys are (idx, image_root) so two roots never collide)
+    assert (0, None) in cached._frame_cache
+    cached._frame_cache[(0, None)] = \
+        np.zeros_like(cached._frame_cache[(0, None)])
     assert cached.load_image(0, normalize=False).max() == 0
+
+    # cached entries are read-only: in-place mutation by a consumer must
+    # fail loudly instead of silently corrupting later epochs
+    hit = cached.load_image(1, normalize=False)
+    assert not hit.flags.writeable
+    with np.testing.assert_raises(ValueError):
+        hit[0, 0, 0] = 0
+    # ...but np.stack/astype (the real consumers) still work
+    np.stack([hit, hit])
+    hit.astype(np.float32)
 
     # budget: each 96px frame is 96*96*3 bytes; allow exactly two entries
     two = 2 * 96 * 96 * 3 / (1024 * 1024)
@@ -167,7 +179,7 @@ def test_frame_cache_identical_and_bounded(dataset_path):
     for idx in range(5):
         small.load_image(idx, normalize=False)
     assert len(small._frame_cache) == 2
-    assert list(small._frame_cache) == [3, 4]  # LRU evicts oldest
+    assert list(small._frame_cache) == [(3, None), (4, None)]  # LRU evicts oldest
 
     # frame_cache_mb=0 (default) never populates the cache
     for idx in range(3):
