@@ -26,6 +26,14 @@ class MaskDecoderConfig:
     transformer_mlp_dim: int = 2048
     transformer_num_heads: int = 8
     attention_downsample_rate: int = 2
+    # Route the two-way blocks through the fused Pallas kernels
+    # (ops/twoway_kernel.py). MEASURED AND REJECTED for training (round 5):
+    # the kernels cost 27.5 ms/step vs ~7 ms for the XLA band they replace
+    # (headline 22.6 -> 18.0 clips/s) — the decoder's math is tiny and the
+    # in-kernel recompute + per-head small dots lose to XLA's pipelined
+    # fusions. Kept for latency-bound eval experiments (per-frame dispatch
+    # count matters more than math there). docs/DESIGN.md §4d.
+    fused_twoway: bool = False
     num_multimask_outputs: int = 3
     iou_head_depth: int = 3
     iou_head_hidden_dim: int = 256
@@ -127,19 +135,53 @@ def _transformer_init(key, cfg: MaskDecoderConfig):
     }
 
 
-def _transformer(p, cfg, image_embedding, image_pe, point_embedding):
-    """image_embedding/image_pe: [B, HW, C]; point_embedding: [B, N, C]."""
+def _transformer(p, cfg, image_embedding, image_pe_2d, point_embedding):
+    """image_embedding: [B, HW, C]; image_pe_2d: [HW, C] (shared across the
+    object batch); point_embedding: [B, N, C]."""
+    B, HW, C = image_embedding.shape
+    N = point_embedding.shape[1]
     queries, keys = point_embedding, image_embedding
-    for i in range(cfg.transformer_depth):
-        queries, keys = _twoway_block(
-            p["layers"][str(i)], queries, keys, point_embedding, image_pe,
-            cfg.transformer_num_heads, skip_first_pe=(i == 0))
+
+    fused = _transformer_blocks_fused(p, cfg, queries, keys, image_pe_2d)
+    if fused is not None:
+        queries, keys = fused
+    else:
+        image_pe = jnp.broadcast_to(image_pe_2d[None], (B, HW, C))
+        for i in range(cfg.transformer_depth):
+            queries, keys = _twoway_block(
+                p["layers"][str(i)], queries, keys, point_embedding,
+                image_pe, cfg.transformer_num_heads, skip_first_pe=(i == 0))
+
     q = queries + point_embedding
-    k = keys + image_pe
+    k = keys + image_pe_2d[None]
     queries = queries + _attn(p["final_attn_token_to_image"], q, k, keys,
                               cfg.transformer_num_heads)
     queries = nn.layer_norm(p["norm_final_attn"], queries)
     return queries, keys
+
+
+def _transformer_blocks_fused(p, cfg, queries, keys, image_pe_2d):
+    """Fused two-way blocks (ops/twoway_kernel.py): each block runs as one
+    VMEM-resident Pallas program over ALL objects (dense object-block-
+    masked attention), replacing the ~13 ms/step band of sub-0.5 ms XLA
+    fusions the per-frame SAM head lowered to (round-5 profiling). Returns
+    None when ineligible — the caller takes the XLA path; results are
+    equivalent up to f32 reassociation (tests/test_twoway_fused.py)."""
+    from ..ops import twoway_kernel as twk
+
+    B, HW, C = keys.shape
+    N = queries.shape[1]
+    if not cfg.fused_twoway or not twk.fused_twoway_eligible(cfg, B, N, HW):
+        return None
+    q4 = queries[None]
+    k4 = keys[None]
+    qpe4 = queries[None]  # the pe re-added at every stage IS the tokens
+    kpe = image_pe_2d.astype(keys.dtype)
+    for i in range(cfg.transformer_depth):
+        q4, k4 = twk.fused_twoway_block(
+            p["layers"][str(i)], q4, k4, qpe4, kpe, first=(i == 0),
+            heads=cfg.transformer_num_heads)
+    return q4[0], k4[0]
 
 
 # ---------------------------------------------------------------------------
@@ -208,10 +250,9 @@ def predict_masks(p, cfg: MaskDecoderConfig, image_embeddings, image_pe,
     Bi, H, W, C = image_embeddings.shape
     src = image_embeddings + dense_prompt_embeddings
     src = src.reshape(B, H * W, C)
-    pos_src = jnp.broadcast_to(image_pe.reshape(1, H * W, C), (B, H * W, C))
+    pe_2d = image_pe.reshape(H * W, C).astype(src.dtype)
 
-    hs, src = _transformer(p["transformer"], cfg, src,
-                           pos_src.astype(src.dtype), tokens)
+    hs, src = _transformer(p["transformer"], cfg, src, pe_2d, tokens)
     iou_token_out = hs[:, s]
     mask_tokens_out = hs[:, s + 1: s + 1 + cfg.num_mask_tokens]
 
