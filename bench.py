@@ -286,6 +286,14 @@ def main():
         n_steps=10)
     del step, state, batch
 
+    # 512px/T=8 CholecSeg8k-style setting (reference README's second
+    # headline config). B=2 is the measured 512px optimum since the
+    # round-5 eligibility break (DESIGN.md §3 "Round-5 512px").
+    step, state, batch = _build_step(
+        2, "none", ["memory_attention", "memory_encoder"], S=512, T=8)
+    cps_512, _, _, _ = _measure(step, state, batch, 2, None, n_steps=10)
+    del step, state, batch
+
     try:
         loader_fields = _bench_loader()
     except Exception as e:
@@ -304,6 +312,7 @@ def main():
                          "(reference publishes no throughput; see bench.py "
                          "docstring for the derivation)",
         "all_trainable_clips_per_sec": round(cps_all, 3),
+        "px512_t8_clips_per_sec": round(cps_512, 3),
         "flops_per_step": flops,
         "mfu": round(mfu, 4) if mfu is not None else None,
         "all_trainable_mfu": round(mfu_all, 4) if mfu_all is not None

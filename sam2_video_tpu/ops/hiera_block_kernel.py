@@ -68,8 +68,12 @@ from .memory_encoder_kernel import _gelu_f32
 # backend (the CPU default already interprets)
 INTERPRET = False
 
-# skip blocks whose resident weights would blow the scoped-VMEM budget
-_MAX_WEIGHT_BYTES = 8 * 1024 * 1024
+# skip blocks whose resident weights would blow the scoped-VMEM budget.
+# 15 MB admits the stage-4 (768-channel) blocks — 14.2 MB of bf16 weights —
+# under the 32 MB scoped-VMEM limit the round-5 kernels proved usable;
+# their 12x12 (384px) / 16x16 (512px) activations are small. This was one
+# of the two 512px eligibility walls (VERDICT r4 item 4).
+_MAX_WEIGHT_BYTES = 15 * 1024 * 1024
 _TARGET_BAND_TOKENS = 768
 _HIDDEN_CHUNK = 512
 _NEG_INF = -1e30
@@ -245,16 +249,32 @@ def fused_block_eligible(spec, H: int, W: int, mlp_ratio: float = 4.0,
         return False
     if _weight_bytes(spec, mlp_ratio) > _MAX_WEIGHT_BYTES:
         return False
+
+    # Mosaic shape-cast support: the kernel flattens/unflattens
+    # [rows, width, C] bands; those casts only lower when the width being
+    # merged into the sublane dim is 8-aligned or the lane dim is a full
+    # 128 tile (measured: (bh,28,384)->(bh*28,384) lowers, (7,21,96)->
+    # (147,96) is "unsupported shape cast" — the stage-4 q_pool block).
+    def _cast_ok(width, lane):
+        return width % 8 == 0 or lane % 128 == 0
+
     ws = spec["window_size"]
     if ws == 0:
         # global attention: one window over the whole grid; dense [HW, HW]
         # f32 logits must stay inside VMEM alongside the weights
-        return H * W <= 2048
+        return H * W <= 2048 and _cast_ok(W, spec["dim"]) \
+            and _cast_ok(W, spec["dim_out"])
     if spec["q_pool"] and (ws % 2 or H % 2 or W % 2):
         return False
     if spec["dim"] != spec["dim_out"] and not spec["q_pool"]:
         return False  # dim change without pooling: not in any SAM2 preset
     Wp = -(-W // ws) * ws
+    out_w = Wp // 2 if spec["q_pool"] else Wp
+    hd = spec["dim_out"] // spec["num_heads"]
+    if not (_cast_ok(Wp, spec["dim"]) and _cast_ok(out_w, spec["dim_out"])):
+        return False
+    if spec["q_pool"] and not (_cast_ok(Wp, hd) and _cast_ok(out_w, hd)):
+        return False
     band = _band_rows(ws, -(-H // ws) * ws, Wp)
     return band * Wp <= 2048
 
@@ -375,6 +395,7 @@ def fused_block(p, x, spec, q_stride, mlp_ratio: float = 4.0,
         out_spec = (out_spec, pl.BlockSpec((1, bh_out, out_w, Cout),
                                            lambda b, j: (b, j, 0, 0)))
 
+    from jax.experimental.pallas import tpu as pltpu
     y = pl.pallas_call(
         kernel,
         grid=(B, n_bands),
@@ -383,6 +404,8 @@ def fused_block(p, x, spec, q_stride, mlp_ratio: float = 4.0,
         out_shape=out_shape,
         interpret=(interpret or INTERPRET
                    or jax.default_backend() == "cpu"),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
     )(x, *operands)
     x1 = None
     if save_residual:

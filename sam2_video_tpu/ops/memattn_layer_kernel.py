@@ -56,7 +56,7 @@ _EPS = 1e-5  # ops/common.py layer_norm default, used by all memattn norms
 _HIDDEN_CHUNK = 512
 
 _COMPILER_PARAMS = pltpu.CompilerParams(
-    vmem_limit_bytes=24 * 1024 * 1024)
+    vmem_limit_bytes=32 * 1024 * 1024)
 
 
 def _run_interp(interpret):
@@ -554,5 +554,9 @@ def fused_layer_eligible(cfg, L: int, interpret: bool = False) -> bool:
         return False
     if cfg.d_model % 128 != 0 or L % 8 != 0:
         return False
-    # bwd resident: ~3 [L, L] f32 (logits/p/dp) + qkv/activations
-    return 3 * 4 * L * L + 12 * 4 * L * cfg.d_model <= 18 * 1024 * 1024
+    # bwd resident: ~3 [L, L] f32 (logits/p/dp) + qkv/activations. The
+    # 26 MB bound admits the 512px query grid (L=1024 needs 25.2 MB) under
+    # the 32 MB scoped-VMEM limit the round-5 kernels proved usable —
+    # round 4's 18 MB bound was the 512px eligibility wall (DESIGN.md §3
+    # round-4 re-sweep; VERDICT r4 item 4).
+    return 3 * 4 * L * L + 12 * 4 * L * cfg.d_model <= 26 * 1024 * 1024

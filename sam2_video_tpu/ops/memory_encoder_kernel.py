@@ -49,6 +49,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 # geometry of the stride-16 pyramid in packed-phase form:
@@ -256,14 +257,13 @@ def _call(ms, pix, flat, h, w, fk, out_dim):
     C = ms.shape[-1]
     # G objects per program: one object leaves the op chain latency-bound
     # (~60 small sequential MXU/VPU ops); batching rows amortizes each op's
-    # pipeline latency. Bounded by VMEM (~2.3k spatial rows keeps the pw1
-    # hidden + f32 accumulators + resident weights under budget).
-    # G=4 exceeds the 16 MB scoped-VMEM budget (measured 17.8M: padded
-    # dwconv copies + f32 accumulators + resident weights); G=2 fits and
-    # already amortizes most of the per-op pipeline latency
+    # pipeline latency. G=4 measured 17.8M of scoped VMEM — over the old
+    # 16 MB default but comfortably inside the 32 MB limit the round-5
+    # twoway kernel proved usable on this chip; G=4 halves the program
+    # count vs G=2 (round-5 A/B: see DESIGN.md §3c addendum).
     G = 1
-    for cand in (2,):
-        if N % cand == 0 and cand * h * w <= 2304:
+    for cand in (4, 2):
+        if N % cand == 0 and cand * h * w <= 4608:
             G = cand
             break
     per_n = [pl.BlockSpec((G, h, w, C), lambda n: (n, 0, 0, 0)),
@@ -277,6 +277,8 @@ def _call(ms, pix, flat, h, w, fk, out_dim):
         out_specs=pl.BlockSpec((G, h, w, out_dim), lambda n: (n, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((N, h, w, out_dim), ms.dtype),
         interpret=jax.default_backend() == "cpu",
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
     )(ms, pix, *flat)
 
 

@@ -34,10 +34,11 @@ def _block_geometries(image_size=384):
     return out
 
 
-@pytest.mark.parametrize("idx", [0, 1, 2, 3, 4, 5])
+@pytest.mark.parametrize("idx", [0, 1, 2, 3, 4, 5, 11])
 def test_fused_block_matches_xla(idx, rng):
     """Every distinct geometry class: plain ws8, pooled ws8, plain ws4,
-    pooled ws4, padded ws14, global."""
+    pooled ws4, padded ws14, global, and the round-5-eligible stage-4
+    768-channel padded-ws7 block."""
     p = _tiny_params()
     i, spec, H = _block_geometries()[idx]
     assert hbk.fused_block_eligible(spec, H, H, CFG.mlp_ratio,
@@ -52,15 +53,18 @@ def test_fused_block_matches_xla(idx, rng):
                                atol=5e-4, rtol=5e-4)
 
 
-def test_stage4_blocks_ineligible():
-    """768-channel blocks must fall back to XLA (weights exceed the VMEM
-    budget) — the full-trunk test still passes because apply() dispatches
-    per block."""
-    geoms = _block_geometries()
-    for i, spec, H in geoms:
-        if spec["dim_out"] == 768:
-            assert not hbk.fused_block_eligible(spec, H, H, CFG.mlp_ratio,
-                                                interpret=True)
+def test_stage4_eligibility():
+    """Round-5 rules: the 15 MB weight bound (under the proven 32 MB
+    scoped-VMEM limit) admits the 768-channel stage-4 blocks, EXCEPT the
+    q_pool dim-change block whose per-head [7, 21, 96] band cast Mosaic
+    cannot lower (width not 8-aligned, lane not a 128 tile) — that one
+    must stay on XLA at every image size."""
+    for size in (384, 512):
+        for i, spec, H in _block_geometries(size):
+            got = hbk.fused_block_eligible(spec, H, H, CFG.mlp_ratio,
+                                           interpret=True)
+            want = not (spec["q_pool"] and spec["dim_out"] == 768)
+            assert got == want, (size, i, spec, H)
 
 
 def test_fused_trunk_matches_xla(rng, monkeypatch):
@@ -145,12 +149,13 @@ def _assert_grads_close(ga, gb, atol, rtol, allow_pool_flips=False):
         assert frac <= 0.01 and rel_frob <= 2e-2, (ks, n_bad, frac, rel_frob)
 
 
-@pytest.mark.parametrize("idx", [0, 1, 2, 3, 4, 5])
+@pytest.mark.parametrize("idx", [0, 1, 2, 3, 4, 5, 11])
 def test_fused_block_grads_match_xla(idx, rng):
     """Backward kernel parity (params AND input grads) vs XLA autodiff of
     hiera._block, per geometry class — plain ws8, pooled ws8 (dim-change
     shortcut + q-pool unpooling), plain ws4, pooled ws4, padded ws14,
-    global."""
+    global, and the round-5-eligible stage-4 768-channel padded-ws7
+    block."""
     from sam2_video_tpu.ops import hiera_block_bwd as hbb
 
     p = _tiny_params()
@@ -175,7 +180,8 @@ def test_fused_block_grads_match_xla(idx, rng):
 
 def test_fused_trunk_grads_match_xla(rng, monkeypatch):
     """Whole-trunk gradient parity: apply(fused_vjp=True) vs the XLA trunk,
-    params and input, with stage-4 blocks transparently on the XLA path."""
+    params and input, with the stage-4 q_pool block transparently on the
+    XLA path (Mosaic shape-cast ineligibility)."""
     monkeypatch.setattr(hbk, "INTERPRET", True)
     p = _tiny_params()
     x = jnp.asarray(rng.standard_normal((1, 128, 128, 3), dtype=np.float32))
@@ -196,23 +202,23 @@ def test_fused_trunk_grads_match_xla(rng, monkeypatch):
 
 
 def test_bwd_eligibility_gating():
-    """Stage-4 blocks and the 512px global-attention blocks (whose dense
-    f32 logits would blow VMEM in the backward) must be bwd-ineligible;
-    everything else at 384px must be eligible."""
+    """Round-5 rules. 384px: every block is bwd-eligible except the
+    stage-4 q_pool block (Mosaic shape-cast, same as forward). 512px:
+    additionally the global-attention blocks (dense [1024, 1024] f32
+    logits x2) and the stage-4 blocks (banded resident bytes at the
+    32x32-derived grids) exceed the backward VMEM budget."""
     from sam2_video_tpu.ops import hiera_block_bwd as hbb
 
     for i, spec, H in _block_geometries(384):
-        want = spec["dim_out"] != 768
+        want = not (spec["q_pool"] and spec["dim_out"] == 768)
         got = hbb.fused_block_bwd_eligible(spec, H, H, CFG.mlp_ratio,
                                            interpret=True)
         assert got == want, (i, spec, H)
     for i, spec, H in _block_geometries(512):
         got = hbb.fused_block_bwd_eligible(spec, H, H, CFG.mlp_ratio,
                                            interpret=True)
-        if spec["dim_out"] == 768 or spec["window_size"] == 0:
-            assert not got, (i, spec, H)
-        else:
-            assert got, (i, spec, H)
+        want = spec["window_size"] != 0 and spec["dim_out"] != 768
+        assert got == want, (i, spec, H)
 
 
 def test_cpu_backend_falls_back_to_xla():
@@ -223,14 +229,29 @@ def test_cpu_backend_falls_back_to_xla():
 
 
 def test_fused_512px_geometries():
-    """The CholecSeg8k eval setting (512px -> 128/64/32 grids) must stay
-    eligible for all non-stage4 blocks, including the 1024-token global
-    attention."""
+    """The CholecSeg8k setting (512px -> 128/64/32/16 grids) must stay
+    eligible for every block but the stage-4 q_pool one, including the
+    1024-token global attention and the round-5 stage-4 ws7 block."""
     for i, spec, H in _block_geometries(image_size=512):
-        if spec["dim_out"] == 768:
-            continue
-        assert hbk.fused_block_eligible(spec, H, H, CFG.mlp_ratio,
-                                        interpret=True), (i, spec, H)
+        want = not (spec["q_pool"] and spec["dim_out"] == 768)
+        got = hbk.fused_block_eligible(spec, H, H, CFG.mlp_ratio,
+                                       interpret=True)
+        assert got == want, (i, spec, H)
+
+
+def test_fused_block_512_stage4(rng):
+    """Value check at the 512px stage-4 geometry (16x16 grid, ws7 ->
+    padded width 21, 768 channels) — newly eligible in round 5."""
+    p = _tiny_params()
+    geoms = _block_geometries(image_size=512)
+    i, spec, H = geoms[11]
+    x = jnp.asarray(rng.standard_normal((1, H, H, spec["dim"]),
+                                        dtype=np.float32))
+    ref = hiera._block(p["blocks"][str(i)], x, spec, CFG.q_stride)
+    out = hbk.fused_block(p["blocks"][str(i)], x, spec, CFG.q_stride,
+                          CFG.mlp_ratio, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-4, rtol=5e-4)
 
 
 def test_fused_block_512_global(rng):
