@@ -432,6 +432,12 @@ def fused_block_bwd_eligible(spec, H: int, W: int, mlp_ratio: float = 4.0,
     logits) fit the VMEM budget."""
     if not hbk.fused_block_eligible(spec, H, W, mlp_ratio, interpret):
         return False
+    if spec["dim_out"] == 768:
+        # the round-5 forward bound admits stage-4 blocks, but their
+        # BACKWARD stack is measured at 36.74 MB scoped VMEM (f32 MLP
+        # weight-grad accumulators alone are ~28 MB at 768 channels) —
+        # past even the proven 32 MB limit. Forward fuses; backward XLA.
+        return False
     ci, co, heads = spec["dim"], spec["dim_out"], spec["num_heads"]
     hd = co // heads
     _, _, Wp, band_rows, _, bh_out, out_w, _ = _geometry(spec, H, W)

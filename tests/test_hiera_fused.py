@@ -149,13 +149,14 @@ def _assert_grads_close(ga, gb, atol, rtol, allow_pool_flips=False):
         assert frac <= 0.01 and rel_frob <= 2e-2, (ks, n_bad, frac, rel_frob)
 
 
-@pytest.mark.parametrize("idx", [0, 1, 2, 3, 4, 5, 11])
+@pytest.mark.parametrize("idx", [0, 1, 2, 3, 4, 5])
 def test_fused_block_grads_match_xla(idx, rng):
     """Backward kernel parity (params AND input grads) vs XLA autodiff of
     hiera._block, per geometry class — plain ws8, pooled ws8 (dim-change
     shortcut + q-pool unpooling), plain ws4, pooled ws4, padded ws14,
-    global, and the round-5-eligible stage-4 768-channel padded-ws7
-    block."""
+    global. Stage-4 (768-channel) blocks are fwd-fused only: their
+    backward stack is a measured 36.74 MB of scoped VMEM, past the 32 MB
+    limit (see fused_block_bwd_eligible)."""
     from sam2_video_tpu.ops import hiera_block_bwd as hbb
 
     p = _tiny_params()
@@ -202,15 +203,15 @@ def test_fused_trunk_grads_match_xla(rng, monkeypatch):
 
 
 def test_bwd_eligibility_gating():
-    """Round-5 rules. 384px: every block is bwd-eligible except the
-    stage-4 q_pool block (Mosaic shape-cast, same as forward). 512px:
-    additionally the global-attention blocks (dense [1024, 1024] f32
-    logits x2) and the stage-4 blocks (banded resident bytes at the
-    32x32-derived grids) exceed the backward VMEM budget."""
+    """Round-5 rules. Stage-4 (768-channel) blocks are NEVER bwd-eligible
+    (36.74 MB measured backward stack > the 32 MB scoped-VMEM limit), at
+    512px additionally the global-attention blocks (dense [1024, 1024]
+    f32 logits x2) exceed the backward budget; everything else at 384px
+    must be eligible."""
     from sam2_video_tpu.ops import hiera_block_bwd as hbb
 
     for i, spec, H in _block_geometries(384):
-        want = not (spec["q_pool"] and spec["dim_out"] == 768)
+        want = spec["dim_out"] != 768
         got = hbb.fused_block_bwd_eligible(spec, H, H, CFG.mlp_ratio,
                                            interpret=True)
         assert got == want, (i, spec, H)
