@@ -42,7 +42,7 @@ PEAK_FLOPS = float(os.environ.get("TPU_PEAK_FLOPS", 197e12))  # v5e bf16
 
 
 def _build_step(B, remat, trainable, S=384, T=10, O=8, C=7,
-                use_flash=True):
+                use_flash=True, stacked_grads=False):
     import jax
 
     from sam2_video_tpu.models import VideoModelConfig
@@ -55,7 +55,8 @@ def _build_step(B, remat, trainable, S=384, T=10, O=8, C=7,
 
     cfg = SAM2Config(backbone="tiny", image_size=S, compute_dtype="bfloat16",
                      use_activation_checkpoint=(remat != "none"),
-                     remat_mode=remat, use_flash_attention=use_flash)
+                     remat_mode=remat, use_flash_attention=use_flash,
+                     stacked_frame_grads=stacked_grads)
     mcfg = VideoModelConfig(sam2=cfg, prompt_type="point")
     params = sam2_mod.init(jax.random.PRNGKey(0), cfg)
     tx = make_optimizer(params, {"lr": 1e-4, "type": "AdamW"},

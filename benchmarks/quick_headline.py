@@ -23,7 +23,8 @@ trainable = (["memory_attention", "memory_encoder", "mask_decoder",
              if "--all" in sys.argv else
              ["memory_attention", "memory_encoder"])
 B = 2
-step, state, batch = _build_step(B, "none", trainable)
+step, state, batch = _build_step(B, "none", trainable,
+                                 stacked_grads="--stacked" in sys.argv)
 compiled = step.lower(state, batch).compile()
 state, metrics = compiled(state, batch)
 float(jax.device_get(metrics["total_loss"]))

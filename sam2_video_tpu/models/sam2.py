@@ -128,6 +128,13 @@ class SAM2Config:
     # cost of program size / compile time — set an explicit small factor
     # for very long training clips if compiles get slow.
     scan_unroll: int = 0
+    # Restructure the unrolled loop's weight-grad accumulation: give each
+    # tracked frame its own broadcast view of the shared per-frame-module
+    # params so the backward writes per-frame cotangent slices into ONE
+    # stacked buffer and reduces once per weight, instead of chaining
+    # per-frame adds over hundreds of small grad tensors (the diagnosed
+    # all-trainable tail — DESIGN.md §3 "remaining gap").
+    stacked_frame_grads: bool = False
     # dtype of the ring-buffer memory bank carried through the scan. The
     # reference effectively stores memories in fp16 under autocast; bf16
     # halves carry bandwidth with the same exponent range.

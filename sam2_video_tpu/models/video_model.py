@@ -145,25 +145,28 @@ def forward_train(params, mcfg: VideoModelConfig, clip: VideoClip,
     # fixed-shape path / reference sam2_base.py:655-666)
     t_diff_max = max(layout.num_ptrs - 1, 1)
 
-    def _frame_step(layout_t, s16_t, s0_t, s1_t, spatial_mem, spatial_valid,
-                    tpos_index, obj_ptrs, ptr_valid, ptr_tpos):
+    def _frame_step(frame_params, layout_t, s16_t, s0_t, s1_t, spatial_mem,
+                    spatial_valid, tpos_index, obj_ptrs, ptr_valid, ptr_tpos):
         """One tracked frame: fuse memory, SAM heads, encode new memory.
-        Shared by the lax.scan body and the static-prefix unrolled loop."""
+        Shared by the lax.scan body and the static-prefix unrolled loop.
+        ``frame_params`` is normally just ``params``; under
+        ``cfg.stacked_frame_grads`` the unrolled loop passes a per-frame
+        view of the shared head params (see below)."""
         curr = _broadcast_obj(s16_t.reshape(HW, C), O)
         fused = sam2_mod.fuse_memory(
-            params, body_cfg, layout_t, curr, curr_pos, spatial_mem,
+            frame_params, body_cfg, layout_t, curr, curr_pos, spatial_mem,
             spatial_valid, mem_pos, tpos_index, obj_ptrs, ptr_valid,
             ptr_tpos, training=training, t_diff_max=t_diff_max)
         fused = fused.reshape(O, F, F, C)
 
         hr = (_broadcast_obj(s0_t, O), _broadcast_obj(s1_t, O))
         out_t = sam2_mod.forward_sam_heads(
-            params, body_cfg, fused, high_res_features=hr,
+            frame_params, body_cfg, fused, high_res_features=hr,
             multimask_output=mm_track, training=training)
 
         pix_raw = _broadcast_obj(s16_t, O)
         new_mem, _ = sam2_mod.encode_new_memory(
-            params, body_cfg, pix_raw, out_t["high_res_masks"],
+            frame_params, body_cfg, pix_raw, out_t["high_res_masks"],
             out_t["object_score_logits"], training=training,
             apply_non_overlap=cfg.non_overlap_masks_for_mem_enc)
         new_mem = new_mem.reshape(O, HW, cfg.mem_dim).astype(bank_dt)
@@ -181,6 +184,26 @@ def forward_train(params, mcfg: VideoModelConfig, clip: VideoClip,
         # exactly zero probability. The ring buffers become Python lists
         # (newest first), so slot j still holds the frame (j+1) steps back
         # and the tpos index stays the slot index.
+        if training and cfg.stacked_frame_grads:
+            # per-frame views of every non-trunk param: forward values are
+            # identical (XLA folds slice-of-broadcast away), but each
+            # frame's weight cotangent lands in its own slice of ONE
+            # [T-1, ...] buffer whose leading-axis sum is the broadcast's
+            # transpose — one big reduction per weight instead of a chain
+            # of T-1 small adds per weight tensor
+            heads_p = {k: v for k, v in params.items()
+                       if k != "image_encoder"}
+            stacked = jax.tree.map(
+                lambda a: jnp.broadcast_to(a[None], (T - 1,) + a.shape),
+                heads_p)
+
+            def _params_for(t):
+                view = jax.tree.map(lambda a: a[t - 1], stacked)
+                return {**params, **view}
+        else:
+            def _params_for(t):
+                return params
+
         mem_list: list = []
         ptr_list: list = []
         outs = []
@@ -208,8 +231,8 @@ def forward_train(params, mcfg: VideoModelConfig, clip: VideoClip,
                 num_maskmem=1 + n_slots, tokens_per_slot=HW,
                 num_ptrs=lay_ptrs, tokens_per_ptr=layout.tokens_per_ptr)
             new_mem, new_ptr, outs_t = _frame_step(
-                layout_t, s16[t], s0[t], s1[t], spatial_mem, None,
-                tpos_index, obj_ptrs, None, ptr_tpos)
+                _params_for(t), layout_t, s16[t], s0[t], s1[t], spatial_mem,
+                None, tpos_index, obj_ptrs, None, ptr_tpos)
             mem_list = [detach(new_mem)] + mem_list[:R - 1]
             if Pn > 0:
                 ptr_list = [detach(new_ptr)] + ptr_list[:Pn - 1]
@@ -241,8 +264,9 @@ def forward_train(params, mcfg: VideoModelConfig, clip: VideoClip,
                 ptr_tpos = jnp.zeros((0,), jnp.float32)
 
             new_mem, new_ptr, outs_t = _frame_step(
-                layout, s16_t, s0_t, s1_t, spatial_mem, spatial_valid,
-                tpos_index_full, obj_ptrs, ptr_valid, ptr_tpos)
+                params, layout, s16_t, s0_t, s1_t, spatial_mem,
+                spatial_valid, tpos_index_full, obj_ptrs, ptr_valid,
+                ptr_tpos)
 
             # push into the ring buffers; stop_gradient == reference
             # .detach()

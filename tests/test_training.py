@@ -315,3 +315,31 @@ def test_remat_modes_match_no_remat(rng, remat):
         np.testing.assert_allclose(
             a, b, atol=1e-5, rtol=1e-4,
             err_msg=f"grad diverged under remat={remat} at {p0}")
+
+
+def test_stacked_frame_grads_match(rng):
+    """stacked_frame_grads restructures HOW per-frame weight cotangents are
+    accumulated (one stacked buffer + one reduction per weight) — it may
+    never change the loss or the gradients beyond reassociation noise."""
+    from sam2_video_tpu.training.loop import batched_loss_fn
+
+    batch = make_batch(rng, tiny_cfg(), B=1, T=4)
+
+    def loss_and_grads(stacked):
+        cfg = tiny_cfg(stacked_frame_grads=stacked)
+        mcfg = VideoModelConfig(sam2=cfg, prompt_type="point")
+        params = sam2_mod.init(jax.random.PRNGKey(1), cfg)
+        loss_fn = batched_loss_fn(mcfg, LossConfig())
+        (loss, _), grads = jax.jit(jax.value_and_grad(
+            loss_fn, has_aux=True))(params, batch)
+        return jax.device_get(loss), jax.device_get(grads)
+
+    l0, g0 = loss_and_grads(False)
+    l1, g1 = loss_and_grads(True)
+    np.testing.assert_allclose(l0, l1, rtol=1e-6)
+    for (p0, a), (p1, b) in zip(sorted(_flatten(g0).items()),
+                                sorted(_flatten(g1).items())):
+        assert p0 == p1
+        np.testing.assert_allclose(
+            a, b, atol=1e-5, rtol=1e-4,
+            err_msg=f"grad diverged under stacked_frame_grads at {p0}")
