@@ -182,7 +182,7 @@ def _bench_loader(S=384, T=10, O=8, C=7, n_steps=24):
         t0 = time.perf_counter()
         n = 0
         for _ in range(10):
-            next(it, None)
+            next(it)   # raise on exhaustion rather than time empty iters
             n += 1
         loader_only[workers] = round(n / (time.perf_counter() - t0), 3)
 
